@@ -1,0 +1,243 @@
+"""Functional decoder-only transformer (GPT-2 / Llama families).
+
+Replaces the reference's load-and-monkeypatch runtime
+(/root/reference/baseline/inference.py, model_loader.py): here the model is a
+pure function over a parameter pytree. Layers are stacked on a leading axis
+and iterated with ``jax.lax.scan`` so compile time is O(1) in depth and XLA
+sees one fused layer body. Every optimization (flash attention, fused MLP,
+fused norms, paged KV) is selected by the :class:`Impl` dataclass at trace
+time — the TPU-native equivalent of the reference's ModelConverter /
+FusionRegistry module surgery (inference.py:76-375).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mlio_tpu.models.spec import ModelSpec
+from mlio_tpu import ops
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class Impl:
+    """Compile-time implementation choices (replaces runtime converters).
+
+    Reference counterparts: FlashAttentionConfig flash_attention.py:53-104,
+    FusionRegistry inference.py:76, MLPConverter fused_mlp.py:399.
+    """
+
+    attention: str = "dense"  # "dense" | "flash" | "ring"
+    mlp: str = "dense"  # "dense" | "fused"
+    norm: str = "dense"  # "dense" | "fused"
+    fused_ln_qkv: bool = False
+    block_q: int = 128
+    block_kv: int = 128
+    ring_chunk: int = 512
+    interpret: Optional[bool] = None  # Pallas interpreter mode (None = auto)
+
+    @staticmethod
+    def fastest() -> "Impl":
+        return Impl(attention="flash", mlp="fused", norm="fused")
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random-init a parameter pytree with the stacked-layer layout.
+
+    Layout: every per-layer weight has a leading ``num_layers`` axis; matmul
+    weights are stored [in, out] (row-major for x @ W).
+    """
+    spec.validate()
+    h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
+    qd, kvd = spec.q_dim, spec.kv_dim
+    keys = jax.random.split(key, 8)
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape) * (fan_in ** -0.5)).astype(dtype)
+
+    def maybe_zeros(shape, cond):
+        return jnp.zeros(shape, dtype) if cond else None
+
+    blocks = {
+        "ln1_scale": jnp.ones((l, h), dtype),
+        "ln1_bias": maybe_zeros((l, h), spec.norm == "layernorm"),
+        "wq": w(keys[0], (l, h, qd), h),
+        "bq": maybe_zeros((l, qd), spec.use_qkv_bias),
+        "wk": w(keys[1], (l, h, kvd), h),
+        "bk": maybe_zeros((l, kvd), spec.use_qkv_bias),
+        "wv": w(keys[2], (l, h, kvd), h),
+        "bv": maybe_zeros((l, kvd), spec.use_qkv_bias),
+        "wo": w(keys[3], (l, qd, h), qd),
+        "bo": maybe_zeros((l, h), spec.use_out_bias),
+        "ln2_scale": jnp.ones((l, h), dtype),
+        "ln2_bias": maybe_zeros((l, h), spec.norm == "layernorm"),
+        "w_up": w(keys[4], (l, h, i), h),
+        "b_up": maybe_zeros((l, i), spec.use_mlp_bias),
+        "w_gate": w(keys[5], (l, h, i), h) if spec.activation == "swiglu" else None,
+        "b_gate": maybe_zeros((l, i), spec.use_mlp_bias and spec.activation == "swiglu"),
+        "w_down": w(keys[6], (l, i, h), i),
+        "b_down": maybe_zeros((l, h), spec.use_mlp_bias),
+    }
+    params: Params = {
+        "tok_embed": (jax.random.normal(keys[7], (spec.vocab_size, h)) * 0.02).astype(dtype),
+        "pos_embed": (
+            (jax.random.normal(keys[7], (spec.max_seq_len, h)) * 0.01).astype(dtype)
+            if spec.positional == "learned" else None
+        ),
+        "blocks": blocks,
+        "final_scale": jnp.ones((h,), dtype),
+        "final_bias": maybe_zeros((h,), spec.norm == "layernorm"),
+        "lm_head": None if spec.tie_embeddings else w(keys[7], (h, spec.vocab_size), h),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# RoPE (HF Llama convention: half-split rotate, not interleaved)
+# ---------------------------------------------------------------------------
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                 dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for given positions ([...,] -> [..., head_dim])."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., half]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, S, H, D]; cos/sin: [B, S, D] or [S, D]."""
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (x * cos + rotated * sin).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    B, S, _ = x.shape
+    return x.reshape(B, S, num_heads, -1)
+
+
+def forward(
+    params: Params,
+    spec: ModelSpec,
+    input_ids: jax.Array,
+    *,
+    impl: Impl = Impl(),
+    cache: Optional[Dict[str, jax.Array]] = None,
+    positions: Optional[jax.Array] = None,
+    return_hidden: bool = False,
+) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    """Run the model on ``input_ids`` [B, S].
+
+    Without a cache this is a full (prefill/scoring) forward. With a cache
+    (see :mod:`mlio_tpu.runtime.kv_cache`) the S new tokens are written at
+    ``cache['pos']`` and attention runs over the whole cached context with a
+    static-shape KV-length mask — the static-shapes design rule that replaces
+    the reference's dynamic Python block lists (inference.py:791-1302).
+
+    Returns (logits [B, S, V], updated cache or None).
+    """
+    B, S = input_ids.shape
+    x = params["tok_embed"][input_ids]  # [B, S, H]
+    dtype = x.dtype
+
+    cache_pos = cache["pos"] if cache is not None else jnp.int32(0)
+    if positions is None:
+        positions = jnp.arange(S, dtype=jnp.int32)[None, :] + cache_pos  # [1|B, S]
+        positions = jnp.broadcast_to(positions, (B, S))
+
+    if spec.positional == "learned":
+        x = x + params["pos_embed"][positions].astype(dtype)
+        cos = sin = None
+    else:
+        cos, sin = rope_cos_sin(positions, spec.head_size, spec.rope_theta, jnp.float32)
+
+    kv_len = cache_pos + S if cache is not None else None
+
+    def block_fn(x, layer_inputs):
+        bp, cache_k, cache_v = layer_inputs
+        # --- attention sublayer ---
+        h_norm = ops.norm(x, bp["ln1_scale"], bp["ln1_bias"], kind=spec.norm,
+                          eps=spec.norm_eps, impl=impl)
+        if impl.fused_ln_qkv:
+            q, k, v = ops.fused_ln_qkv(
+                x, bp["ln1_scale"], bp["ln1_bias"],
+                bp["wq"], bp["bq"], bp["wk"], bp["bk"], bp["wv"], bp["bv"],
+                kind=spec.norm, eps=spec.norm_eps, impl=impl)
+        else:
+            q = h_norm @ bp["wq"] + (bp["bq"] if bp["bq"] is not None else 0)
+            k = h_norm @ bp["wk"] + (bp["bk"] if bp["bk"] is not None else 0)
+            v = h_norm @ bp["wv"] + (bp["bv"] if bp["bv"] is not None else 0)
+        q = _split_heads(q, spec.num_heads)
+        k = _split_heads(k, spec.num_kv_heads)
+        v = _split_heads(v, spec.num_kv_heads)
+        if cos is not None:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        if cache_k is not None:
+            # Write the S new tokens into the cache at cache_pos, then attend
+            # over the full static-shape cache with a kv_len mask.
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, cache_pos, 0, 0))
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, cache_pos, 0, 0))
+            attn_k, attn_v = cache_k.astype(dtype), cache_v.astype(dtype)
+            attn = ops.attention(q, attn_k, attn_v, causal=True,
+                                 q_offset=cache_pos, kv_len=kv_len, impl=impl)
+        else:
+            attn = ops.attention(q, k, v, causal=True, impl=impl)
+
+        attn = attn.reshape(B, S, spec.q_dim)
+        attn_out = attn @ bp["wo"] + (bp["bo"] if bp["bo"] is not None else 0)
+        x = x + attn_out
+
+        # --- MLP sublayer ---
+        h_norm = ops.norm(x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
+                          eps=spec.norm_eps, impl=impl)
+        mlp_out = ops.mlp(h_norm, bp["w_up"], bp["w_down"],
+                          b_up=bp["b_up"], b_down=bp["b_down"],
+                          w_gate=bp["w_gate"], b_gate=bp["b_gate"],
+                          activation=spec.activation, impl=impl)
+        x = x + mlp_out
+        return x, (cache_k, cache_v)
+
+    blocks = params["blocks"]
+    if cache is not None:
+        x, (new_k, new_v) = jax.lax.scan(block_fn, x, (blocks, cache["k"], cache["v"]))
+        new_cache = {"k": new_k, "v": new_v, "pos": cache_pos + S}
+    else:
+        x, _ = jax.lax.scan(lambda c, bp: (block_fn(c, (bp, None, None))[0], None),
+                            x, blocks)
+        new_cache = None
+
+    x = ops.norm(x, params["final_scale"], params["final_bias"], kind=spec.norm,
+                 eps=spec.norm_eps, impl=impl)
+    if return_hidden:
+        return x, new_cache
+
+    w_head = params["lm_head"] if params["lm_head"] is not None else params["tok_embed"].T
+    logits = x @ w_head.astype(x.dtype)
+    if spec.logits_softcap is not None:
+        cap = spec.logits_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits, new_cache

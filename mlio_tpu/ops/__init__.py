@@ -1,0 +1,97 @@
+"""Op dispatch layer: one call site per op, implementation chosen by Impl.
+
+This is the TPU-native replacement for the reference's converter/registry
+indirection (FusionRegistry inference.py:76, ModelConverter
+flash_attention.py:952, MLPConverter fused_mlp.py:399): instead of swapping
+nn.Module objects at runtime, the model calls these dispatchers and the Impl
+dataclass picks the code path at trace time. Each optimized path has a
+pure-jnp reference twin in :mod:`mlio_tpu.ops.reference` used for validation
+and as the CPU fallback (mirroring the reference's try/except
+Triton→PyTorch fallbacks, flash_attention_kernels.py:1290-1315).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from mlio_tpu.ops.reference import (
+    attention_reference,
+    layernorm_reference,
+    mlp_reference,
+    rmsnorm_reference,
+)
+
+
+def _use_interpret(impl) -> bool:
+    """Pallas kernels run in interpreter mode off-TPU (CPU test meshes)."""
+    if impl is not None and impl.interpret is not None:
+        return impl.interpret
+    return jax.default_backend() != "tpu"
+
+
+def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
+              bias=None, impl=None):
+    """Multi-head attention dispatcher. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D]."""
+    kind = impl.attention if impl is not None else "dense"
+    if kind == "flash":
+        from mlio_tpu.ops import flash_attention as fa
+        return fa.flash_attention(
+            q, k, v, causal=causal, scale=scale, q_offset=q_offset,
+            kv_len=kv_len, block_q=impl.block_q, block_kv=impl.block_kv,
+            interpret=_use_interpret(impl))
+    if kind == "ring":
+        from mlio_tpu.ops import ring_attention as ra
+        return ra.chunked_ring_attention(
+            q, k, v, causal=causal, scale=scale, q_offset=q_offset,
+            kv_len=kv_len, chunk_size=impl.ring_chunk)
+    return attention_reference(q, k, v, causal=causal, scale=scale,
+                               q_offset=q_offset, kv_len=kv_len, bias=bias)
+
+
+def mlp(x, w_up, w_down, *, b_up=None, b_down=None, w_gate=None, b_gate=None,
+        activation="gelu_new", impl=None):
+    """MLP dispatcher (dense jnp vs fused Pallas kernel)."""
+    kind = impl.mlp if impl is not None else "dense"
+    if kind == "fused":
+        from mlio_tpu.ops import fused_mlp as fm
+        return fm.fused_mlp(x, w_up, w_down, b_up=b_up, b_down=b_down,
+                            w_gate=w_gate, b_gate=b_gate, activation=activation,
+                            interpret=_use_interpret(impl))
+    return mlp_reference(x, w_up, w_down, b_up=b_up, b_down=b_down,
+                         w_gate=w_gate, b_gate=b_gate, activation=activation)
+
+
+def norm(x, scale, bias=None, *, kind="layernorm", eps=1e-5, residual=None,
+         impl=None):
+    """Norm dispatcher: LayerNorm or RMSNorm, optionally fused Pallas."""
+    use_fused = impl is not None and impl.norm == "fused"
+    if use_fused:
+        from mlio_tpu.ops import norms
+        return norms.fused_norm(x, scale, bias, kind=kind, eps=eps,
+                                residual=residual,
+                                interpret=_use_interpret(impl))
+    if kind == "rmsnorm":
+        return rmsnorm_reference(x, scale, eps=eps, residual=residual)
+    return layernorm_reference(x, scale, bias, eps=eps, residual=residual)
+
+
+def fused_ln_qkv(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, *,
+                 kind="layernorm", eps=1e-5, impl=None):
+    """Fused norm + QKV projection (reference: fused_layernorm_qkv.py:51-421)."""
+    from mlio_tpu.ops import fused_ln_qkv as flq
+    return flq.fused_ln_qkv(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
+                            kind=kind, eps=eps,
+                            interpret=_use_interpret(impl))
+
+
+__all__ = [
+    "attention",
+    "mlp",
+    "norm",
+    "fused_ln_qkv",
+    "attention_reference",
+    "mlp_reference",
+    "layernorm_reference",
+    "rmsnorm_reference",
+]
