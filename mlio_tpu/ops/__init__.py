@@ -79,7 +79,7 @@ def norm(x, scale, bias=None, *, kind="layernorm", eps=1e-5, residual=None,
 def fused_ln_qkv(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, *,
                  kind="layernorm", eps=1e-5, impl=None):
     """Fused norm + QKV projection (reference: fused_layernorm_qkv.py:51-421)."""
-    from mlio_tpu.ops import fused_ln_qkv as flq
+    from mlio_tpu.ops import ln_qkv as flq
     return flq.fused_ln_qkv(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
                             kind=kind, eps=eps,
                             interpret=_use_interpret(impl))

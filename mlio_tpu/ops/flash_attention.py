@@ -1,0 +1,216 @@
+"""Pallas flash attention (forward) for TPU.
+
+TPU-native rebuild of the reference's Triton FA3 forward kernel
+(/root/reference/kernels/triton/flash_attention_kernels.py:53-325): tiled
+QK^T with online softmax (running max m, normalizer l, rescale-accumulate —
+the alpha/beta update at flash_attention_kernels.py:276-302), causal
+early-exit (:192), GQA (the reference handles GQA at the module level via
+repeat_interleave, flash_attention.py:571-621 — here it's free via the KV
+head index map), and KV-length masking for cache decode.
+
+Design notes (pallas_guide.md):
+  * grid = (batch, q_head, q_blocks); q-block iteration is innermost so K/V
+    stay VMEM-resident across q tiles of the same (b, h).
+  * K/V for one (b, kv_head) are staged whole into VMEM; the kv loop runs
+    inside the kernel so the MXU sees back-to-back [block_q, D] x [D,
+    block_kv] matmuls. Fits VMEM for Skv*D*2 dtypes ≤ ~4MB (e.g. 8K ctx at
+    D=128 bf16); longer contexts use ring/chunked attention.
+  * kv_len [B] and q_offset are scalar-prefetch args (SMEM) so masking and
+    the causal trip-count are computed before the loop.
+  * softmax statistics and the output accumulator are fp32; matmul inputs
+    stay in the input dtype for MXU throughput (preferred_element_type=f32).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, *,
+                      scale: float, block_kv: int, causal: bool, skv: int,
+                      sq: int):
+    qi = pl.program_id(2)
+    bq = q_ref.shape[2]
+    D = q_ref.shape[3]
+
+    # Fold the softmax scale into q once (done in fp32, cast back for MXU).
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [bq, D]
+    kvlen = kvlen_ref[pl.program_id(0)]
+    qoff = qoff_ref[0]
+    q_start = qi * bq  # local start row; absolute = q_start + qoff
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+
+    num_kv_blocks = pl.cdiv(skv, block_kv)
+    # Trip count: never past kv_len; under causality never past the last
+    # query row's absolute position (causal early-exit, Triton ref :192).
+    limit = jnp.minimum(num_kv_blocks, pl.cdiv(kvlen, block_kv))
+    if causal:
+        last_q_abs = q_start + qoff + bq  # exclusive
+        limit = jnp.minimum(limit, pl.cdiv(last_q_abs, block_kv))
+    # Blocks strictly below the causal diagonal and fully inside kv_len need
+    # no masking at all — run them on a lean VPU path (no iota/where).
+    full_limit = kvlen // block_kv
+    if causal:
+        first_q_abs = q_start + qoff
+        full_limit = jnp.minimum(full_limit, first_q_abs // block_kv)
+
+    row_abs = (q_start + qoff
+               + lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0))
+
+    def body(j, carry, masked):
+        m, l, acc = carry
+        ks = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :]  # [bkv, D]
+        vs = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :]
+        s = lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [bq, bkv]
+
+        if masked:
+            col_abs = j * block_kv + lax.broadcasted_iota(
+                jnp.int32, (bq, block_kv), 1)
+            mask = col_abs < kvlen
+            if causal:
+                mask = jnp.logical_and(mask, row_abs >= col_abs)
+            s = jnp.where(mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # Rows that are still fully masked keep m == -inf; exp(-inf - -inf)
+        # would be NaN, so neutralize via a safe m.
+        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+        alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
+        p = jnp.exp(s - m_safe)
+        if masked:
+            p = jnp.where(mask, p, 0.0)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = lax.dot_general(p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        acc = acc * alpha + pv
+        return m_new, l, acc
+
+    carry = lax.fori_loop(0, full_limit,
+                          lambda j, c: body(j, c, masked=False),
+                          (m0, l0, acc0))
+    m, l, acc = lax.fori_loop(full_limit, limit,
+                              lambda j, c: body(j, c, masked=True), carry)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    q_offset=0,
+    kv_len=None,
+    block_q: int = 256,
+    block_kv: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D] → [B,Sq,Hq,D].
+
+    ``q_offset``: absolute position of q[:, 0] (decode with a cache).
+    ``kv_len``: scalar or [B]; cache slots >= kv_len are masked out.
+    Wrapper parity: triton_flash_attention
+    flash_attention_kernels.py:1150-1315 (shape checks, block heuristics,
+    mask canonicalization).
+    """
+    B, Sq, Hq, D = q.shape
+    _, Skv, Hkv, _ = k.shape
+    assert Hq % Hkv == 0, "query heads must be a multiple of KV heads"
+    group = Hq // Hkv
+    if scale is None:
+        scale = D ** -0.5
+
+    # Block-size heuristic (parity: flash_attention_kernels.py:1259-1271):
+    # clamp to the sequence, keep MXU/VPU-aligned tiles where possible.
+    bq = min(block_q, _round_up(Sq, 8))
+    bkv = min(block_kv, _round_up(Skv, 128))
+
+    kvlen_arr = jnp.full((B,), Skv, jnp.int32) if kv_len is None else \
+        jnp.broadcast_to(jnp.asarray(kv_len, jnp.int32), (B,))
+    qoff_arr = jnp.asarray(q_offset, jnp.int32).reshape(1)
+
+    # [B, H, S, D] layout for per-(batch, head) tiling.
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    sq_pad = _round_up(Sq, bq)
+    skv_pad = _round_up(Skv, bkv)
+    if sq_pad != Sq:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_pad - Sq), (0, 0)))
+    if skv_pad != Skv:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, skv_pad - Skv), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, skv_pad - Skv), (0, 0)))
+
+    grid = (B, Hq, sq_pad // bq)
+    kernel = functools.partial(
+        _flash_fwd_kernel, scale=scale, block_kv=bkv, causal=causal,
+        skv=skv_pad, sq=Sq)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                # index maps receive (*grid_indices, *scalar_prefetch_refs)
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, skv_pad, D),
+                             lambda b, h, i, *_: (b, h // group, 0, 0)),
+                pl.BlockSpec((1, 1, skv_pad, D),
+                             lambda b, h, i, *_: (b, h // group, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, D),
+                                   lambda b, h, i, *_: (b, h, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, sq_pad, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * Sq * Skv * D,
+            bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
+            transcendentals=B * Hq * Sq * Skv,
+        ),
+        interpret=interpret,
+    )(kvlen_arr, qoff_arr, qt, kt, vt)
+
+    out = out[:, :, :Sq, :].transpose(0, 2, 1, 3)
+    return out
+
+
+def flash_attention_memory_model(batch, heads, sq, skv, d, dtype_bytes=2,
+                                 block_q=128, block_kv=128):
+    """Theoretical working-set model (parity: FlashAttention3 memory model,
+    flash_attention.py:409-460): O(block) on-chip instead of O(S^2)."""
+    hbm = (batch * heads * (sq + 2 * skv) * d + batch * heads * sq * d) * dtype_bytes
+    vmem_per_program = (block_q * d + 2 * skv * d) * dtype_bytes \
+        + block_q * (d + 2) * 4
+    dense_scores = batch * heads * sq * skv * dtype_bytes
+    return {
+        "hbm_bytes": hbm,
+        "vmem_bytes_per_program": vmem_per_program,
+        "dense_scores_bytes_avoided": dense_scores,
+    }
