@@ -1,0 +1,66 @@
+"""Headline benchmark: GPT-2 decode tokens/sec/chip on TPU (bf16, fused kernels).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s/chip", "vs_baseline": N}
+vs_baseline = fraction of the HBM-bandwidth decode roofline (weights + KV
+reads per step), i.e. the BASELINE.json "≥90% of roofline" target measured
+directly. Run on the real TPU (no env overrides).
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+BATCH = 8
+PROMPT = 8
+NEW_TOKENS = 256
+CACHE_LEN = 1024
+HBM_GBPS = 819.0  # v5e HBM bandwidth
+
+
+def main():
+    from mlio_tpu.models import Impl, load_model
+    from mlio_tpu.runtime import generate
+
+    backend = jax.default_backend()
+    spec, params = load_model("gpt2", dtype=jnp.bfloat16)
+    impl = Impl(attention="flash", mlp="fused", norm="fused") \
+        if backend == "tpu" else Impl()
+
+    ids = jnp.zeros((BATCH, PROMPT), jnp.int32)
+
+    def run():
+        out = generate(params, spec, ids, max_new_tokens=NEW_TOKENS,
+                       impl=impl, cache_len=CACHE_LEN)
+        # tiny host fetch = hard sync without a big transfer
+        return int(out[0, -1])
+
+    run()  # compile + warm
+    t0 = time.time()
+    run()
+    dt = time.time() - t0
+    tok_s = BATCH * NEW_TOKENS / dt
+
+    # HBM roofline for batched decode: weights once per step + KV cache
+    # read per sequence per step (full static cache of CACHE_LEN).
+    param_bytes = spec.num_params() * 2
+    kv_bytes_per_seq = 2 * spec.num_layers * CACHE_LEN * spec.kv_dim * 2
+    step_bytes = param_bytes + BATCH * kv_bytes_per_seq
+    roofline_tok_s = HBM_GBPS * 1e9 / step_bytes * BATCH
+
+    print(json.dumps({
+        "metric": "gpt2_decode_tokens_per_sec_per_chip",
+        "value": round(tok_s, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(tok_s / roofline_tok_s, 3),
+    }))
+    print(f"# backend={backend} batch={BATCH} new_tokens={NEW_TOKENS} "
+          f"cache={CACHE_LEN} wall={dt:.2f}s roofline={roofline_tok_s:.0f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

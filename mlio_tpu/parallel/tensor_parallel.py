@@ -1,0 +1,89 @@
+"""Tensor-parallel sharding rules (Megatron pattern as NamedShardings).
+
+Replaces the reference's module-surgery TP layer
+(/root/reference/parallelism/tensor_parallel.py: ColumnParallelLinear :88,
+RowParallelLinear :207, TensorParallelMLP :330, TensorParallelAttention :403,
+ModelParallelConverter :617): instead of swapping nn.Modules and slicing
+weights per rank, we annotate the parameter pytree with PartitionSpecs and
+let GSPMD partition the same functional forward. Column-parallel = shard the
+output dim, row-parallel = shard the contracting dim (XLA inserts the
+all-reduce the reference issues manually at tensor_parallel.py:300-326).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mlio_tpu.models.spec import ModelSpec
+
+
+def param_specs(spec: ModelSpec) -> Dict[str, Any]:
+    """PartitionSpec pytree matching models.transformer's parameter layout.
+
+    Megatron mapping (tensor_parallel.py:330-400):
+      wq/wk/wv, w_up, w_gate  -> column parallel: shard output dim on "tensor"
+      wo, w_down              -> row parallel: shard input dim on "tensor"
+      embeddings              -> shard vocab dim (output-embedding all-gather
+                                 is deferred to the logits matmul)
+      norms / biases of row-parallel outputs -> replicated
+    Leading stacked-layer axis is never sharded.
+    """
+    col = P(None, None, "tensor")   # [L, in, out] shard out
+    row = P(None, "tensor", None)   # [L, in, out] shard in
+    bias_col = P(None, "tensor")    # [L, out]
+    rep2 = P(None, None)
+    blocks = {
+        "ln1_scale": rep2, "ln1_bias": rep2,
+        "wq": col, "bq": bias_col,
+        "wk": col, "bk": bias_col,
+        "wv": col, "bv": bias_col,
+        "wo": row, "bo": rep2,
+        "ln2_scale": rep2, "ln2_bias": rep2,
+        "w_up": col, "b_up": bias_col,
+        "w_gate": col, "b_gate": bias_col,
+        "w_down": row, "b_down": rep2,
+    }
+    return {
+        "tok_embed": P("tensor", None),
+        "pos_embed": P(None, None),
+        "blocks": blocks,
+        "final_scale": P(None),
+        "final_bias": P(None),
+        "lm_head": P(None, "tensor"),
+    }
+
+
+def _prune_to(params, specs):
+    """Match the spec tree to the params tree (drop specs for None leaves)."""
+    if isinstance(params, dict):
+        return {k: _prune_to(params[k], specs[k]) for k in params}
+    return None if params is None else specs
+
+
+def shard_params(params, spec: ModelSpec, mesh: Mesh):
+    """Place a parameter pytree onto the mesh with TP shardings."""
+    specs = _prune_to(params, param_specs(spec))
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)) if x is not None else None,
+        params, specs, is_leaf=lambda x: x is None)
+
+
+def data_specs() -> Dict[str, Any]:
+    """Input/activation sharding: batch over "data", sequence over "seq"."""
+    return {
+        "input_ids": P("data", "seq"),
+        "hidden": P("data", "seq", None),
+        "cache": P(None, "data", None, "tensor", None),  # [L,B,S,Hkv,D]
+    }
+
+
+def validate_tp_divisibility(spec: ModelSpec, tp: int) -> None:
+    """(parity: divisibility checks parallel_utils.py:11-40)."""
+    assert spec.num_heads % tp == 0, (
+        f"num_heads {spec.num_heads} not divisible by tp={tp}")
+    assert spec.num_kv_heads % tp == 0 or tp % spec.num_kv_heads == 0, (
+        f"kv heads {spec.num_kv_heads} incompatible with tp={tp}")
+    assert spec.intermediate_size % tp == 0, (
+        f"intermediate {spec.intermediate_size} not divisible by tp={tp}")
