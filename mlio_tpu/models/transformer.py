@@ -184,9 +184,9 @@ def forward(
                 bp["wq"], bp["bq"], bp["wk"], bp["bk"], bp["wv"], bp["bv"],
                 kind=spec.norm, eps=spec.norm_eps, impl=impl)
         else:
-            q = h_norm @ bp["wq"] + (bp["bq"] if bp["bq"] is not None else 0)
-            k = h_norm @ bp["wk"] + (bp["bk"] if bp["bk"] is not None else 0)
-            v = h_norm @ bp["wv"] + (bp["bv"] if bp["bv"] is not None else 0)
+            q = ops.linear(h_norm, bp["wq"], bp["bq"], impl=impl)
+            k = ops.linear(h_norm, bp["wk"], bp["bk"], impl=impl)
+            v = ops.linear(h_norm, bp["wv"], bp["bv"], impl=impl)
         q = _split_heads(q, spec.num_heads)
         k = _split_heads(k, spec.num_kv_heads)
         v = _split_heads(v, spec.num_kv_heads)
@@ -208,8 +208,7 @@ def forward(
             attn = ops.attention(q, k, v, causal=True, impl=impl)
 
         attn = attn.reshape(B, S, spec.q_dim)
-        attn_out = attn @ bp["wo"] + (bp["bo"] if bp["bo"] is not None else 0)
-        x = x + attn_out
+        x = x + ops.linear(attn, bp["wo"], bp["bo"], impl=impl)
 
         # --- MLP sublayer ---
         h_norm = ops.norm(x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
@@ -235,8 +234,10 @@ def forward(
     if return_hidden:
         return x, new_cache
 
-    w_head = params["lm_head"] if params["lm_head"] is not None else params["tok_embed"].T
-    logits = x @ w_head.astype(x.dtype)
+    if params["lm_head"] is not None:
+        logits = ops.linear(x, params["lm_head"], impl=impl)
+    else:
+        logits = x @ params["tok_embed"].T.astype(x.dtype)
     if spec.logits_softcap is not None:
         cap = spec.logits_softcap
         logits = cap * jnp.tanh(logits / cap)

@@ -21,6 +21,8 @@ from mlio_tpu.ops.reference import (
     mlp_reference,
     rmsnorm_reference,
 )
+from mlio_tpu.ops.quant import QTensor, dequantize
+from mlio_tpu.ops import quant as _quant
 
 
 def _use_interpret(impl) -> bool:
@@ -49,9 +51,35 @@ def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
                                q_offset=q_offset, kv_len=kv_len, bias=bias)
 
 
+def linear(x, w, bias=None, *, impl=None):
+    """x @ w (+bias); w may be a QTensor (dequant-fused Pallas matmul)."""
+    return _quant.linear(x, w, bias, interpret=_use_interpret(impl))
+
+
 def mlp(x, w_up, w_down, *, b_up=None, b_down=None, w_gate=None, b_gate=None,
         activation="gelu_new", impl=None):
-    """MLP dispatcher (dense jnp vs fused Pallas kernel)."""
+    """MLP dispatcher (dense jnp vs fused Pallas kernel vs quantized)."""
+    if isinstance(w_up, QTensor):
+        # Quantized path: each projection is a dequant-fused matmul kernel.
+        # (A fully-fused quantized MLP kernel is a later optimization.)
+        interp = _use_interpret(impl)
+        h = _quant.linear(x, w_up, b_up, interpret=interp)
+        if activation == "swiglu":
+            import jax.nn
+
+            g = _quant.linear(x, w_gate, b_gate, interpret=interp)
+            h = jax.nn.silu(g) * h
+        elif activation in ("gelu_new", "gelu_tanh"):
+            import jax.nn
+
+            h = jax.nn.gelu(h, approximate=True)
+        elif activation == "gelu":
+            import jax.nn
+
+            h = jax.nn.gelu(h, approximate=False)
+        elif activation == "relu":
+            h = jax.numpy.maximum(h, 0)
+        return _quant.linear(h, w_down, b_down, interpret=interp)
     kind = impl.mlp if impl is not None else "dense"
     if kind == "fused":
         from mlio_tpu.ops import fused_mlp as fm
@@ -79,6 +107,13 @@ def norm(x, scale, bias=None, *, kind="layernorm", eps=1e-5, residual=None,
 def fused_ln_qkv(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, *,
                  kind="layernorm", eps=1e-5, impl=None):
     """Fused norm + QKV projection (reference: fused_layernorm_qkv.py:51-421)."""
+    if isinstance(wq, QTensor):
+        # Quantized QKV: norm once, then dequant-fused matmuls.
+        h = norm(x, ln_scale, ln_bias, kind=kind, eps=eps, impl=impl)
+        interp = _use_interpret(impl)
+        return (_quant.linear(h, wq, bq, interpret=interp),
+                _quant.linear(h, wk, bk, interpret=interp),
+                _quant.linear(h, wv, bv, interpret=interp))
     from mlio_tpu.ops import ln_qkv as flq
     return flq.fused_ln_qkv(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
                             kind=kind, eps=eps,
@@ -87,9 +122,12 @@ def fused_ln_qkv(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, *,
 
 __all__ = [
     "attention",
+    "linear",
     "mlp",
     "norm",
     "fused_ln_qkv",
+    "QTensor",
+    "dequantize",
     "attention_reference",
     "mlp_reference",
     "layernorm_reference",

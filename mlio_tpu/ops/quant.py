@@ -1,0 +1,298 @@
+"""Weight quantization (INT8 / INT4 / FP8) with dequant-fused Pallas matmul.
+
+Rebuild + upgrade of the reference's quantization surface
+(/root/reference/baseline/inference.py:467-557: torch dynamic int8, FX static
+int8, bitsandbytes NF4 int4). The reference quantizes by swapping torch
+modules; here quantization is a pytree transform — weights become
+:class:`QTensor` leaves (int8/int4-packed/fp8 payload + per-output-channel
+scales) and every matmul route through :func:`linear`, which dispatches to a
+Pallas kernel that dequantizes INSIDE the matmul tile loop. Weights stream
+from HBM at 1 byte (or half a byte) per element — the decode-bandwidth win
+that sets the BASELINE.json roofline target — and the MXU still sees its
+native dtype.
+
+Accuracy recipe for the ≤0.1 ppl INT8 gate: per-output-channel symmetric
+scales, fp32 accumulation, scales applied after accumulation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class QTensor(NamedTuple):
+    """Quantized weight: payload [K, N] (int8 / packed int4 / fp8) +
+    per-output-channel scale [N]. Registered pytree (NamedTuple) so it flows
+    through jit/scan like any array leaf."""
+
+    q: jax.Array
+    scale: jax.Array
+    fmt: str = "int8"  # static: "int8" | "int4" | "fp8"
+
+    @property
+    def in_features(self) -> int:
+        return self.q.shape[0] * (2 if self.fmt == "int4" else 1)
+
+    @property
+    def out_features(self) -> int:
+        return self.q.shape[1]
+
+
+# NamedTuple fields are all treated as pytree children by default, but `fmt`
+# must stay static metadata — register explicitly.
+jax.tree_util.register_pytree_node(
+    QTensor,
+    lambda t: ((t.q, t.scale), t.fmt),
+    lambda fmt, children: QTensor(children[0], children[1], fmt),
+)
+
+
+# ---------------------------------------------------------------------------
+# Quantizers
+# ---------------------------------------------------------------------------
+
+def quantize_int8(w: jax.Array) -> QTensor:
+    """Symmetric per-output-channel INT8. w [K, N] → QTensor."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)  # [N]
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return QTensor(q, scale.astype(jnp.float32), "int8")
+
+
+def quantize_int4(w: jax.Array) -> QTensor:
+    """Symmetric per-output-channel INT4, packed 2 values/byte along K.
+
+    Packing pairs row i with row i + K/2 (byte i = q[i] in the low nibble,
+    q[i + K/2] in the high nibble). This "halves" layout lets the matmul
+    kernel dequantize with two contiguous dots — no interleave, which TPU
+    vector units can't do cheaply. (Parity intent: bitsandbytes NF4 path,
+    inference.py:508-519, rebuilt as plain symmetric int4.)
+    """
+    K, N = w.shape
+    assert K % 2 == 0, "int4 packing requires even in_features"
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    scale = jnp.where(amax == 0, 1.0, amax / 7.0)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)  # [-7, 7]
+    lo = q[: K // 2] & 0x0F
+    hi = (q[K // 2 :] & 0x0F) << 4
+    packed = (lo | hi).astype(jnp.int8)  # [K//2, N]
+    return QTensor(packed, scale.astype(jnp.float32), "int4")
+
+
+def _nibbles(packed: jax.Array):
+    """Sign-extended (lo, hi) int32 nibbles of a packed int4 array."""
+    wi = packed.astype(jnp.int32)
+    lo = ((wi & 0x0F) ^ 8) - 8
+    hi = (((wi >> 4) & 0x0F) ^ 8) - 8
+    return lo, hi
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[K//2, N] packed → [K, N] int8 in [-7, 7]: rows [0, K/2) from the low
+    nibbles, rows [K/2, K) from the high nibbles (halves layout)."""
+    lo, hi = _nibbles(packed)
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
+def quantize_fp8(w: jax.Array) -> QTensor:
+    """FP8 (e4m3) with per-channel scale to use the full fp8 range."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    scale = jnp.where(amax == 0, 1.0, amax / 448.0)  # e4m3 max = 448
+    q = (wf / scale).astype(jnp.float8_e4m3fn)
+    return QTensor(q, scale.astype(jnp.float32), "fp8")
+
+
+def quantize(w: jax.Array, fmt: str) -> QTensor:
+    return {"int8": quantize_int8, "int4": quantize_int4,
+            "fp8": quantize_fp8}[fmt](w)
+
+
+def dequantize(t: QTensor, dtype=jnp.float32) -> jax.Array:
+    """Reference dequant (used by the jnp fallback and tests)."""
+    q = unpack_int4(t.q) if t.fmt == "int4" else t.q
+    return (q.astype(jnp.float32) * t.scale.astype(jnp.float32)).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dequant-fused matmul kernel
+# ---------------------------------------------------------------------------
+
+def _quant_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0]  # [bm, bk]
+    # Dequant to the activation dtype right before the MXU — weights cross
+    # HBM quantized, VMEM holds one tile at a time.
+    wf = w_ref[0].astype(x.dtype)  # [bk, bn]
+    acc_ref[:] += lax.dot_general(x, wf, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _int4_matmul_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                        n_k):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xl = xlo_ref[0]  # [bm, bkp] — x cols aligned with the low nibbles
+    xh = xhi_ref[0]  # [bm, bkp] — x cols aligned with the high nibbles
+    lo, hi = _nibbles(w_ref[0])  # [bkp, bn] each
+    acc_ref[:] += lax.dot_general(xl, lo.astype(xl.dtype),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    acc_ref[:] += lax.dot_general(xh, hi.astype(xh.dtype),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fmt", "block_m", "block_n", "block_k", "interpret"),
+)
+def quant_matmul(
+    x: jax.Array,
+    q: jax.Array,
+    scale: jax.Array,
+    *,
+    fmt: str = "int8",
+    block_m: int = 512,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """x [..., K] @ dequant(q, scale) [K, N] → [..., N]."""
+    orig_shape = x.shape
+    K = x.shape[-1]
+    N = q.shape[1]
+    pack = 2 if fmt == "int4" else 1
+    assert q.shape[0] * pack == K, (q.shape, K, fmt)
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    bm = min(block_m, _round_up(M, 8))
+    bn = min(block_n, _round_up(N, 128))
+    m_pad, n_pad = _round_up(M, bm), _round_up(N, bn)
+    n_m, n_n = m_pad // bm, n_pad // bn
+
+    if fmt == "int4":
+        # Halves packing needs K/2 split into lane-aligned blocks; fall back
+        # to an XLA dequant matmul for exotic K.
+        Kh = K // 2
+        bkp = 0
+        for cand in (block_k, 384, 256, 128):
+            if cand <= Kh and Kh % cand == 0:
+                bkp = cand
+                break
+        if bkp == 0:
+            return (x @ (unpack_int4(q).astype(jnp.float32)
+                         * scale).astype(x.dtype))
+        n_k = Kh // bkp
+        if m_pad != M:
+            x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
+        if n_pad != N:
+            q = jnp.pad(q, ((0, 0), (0, n_pad - N)))
+            scale = jnp.pad(scale, ((0, n_pad - N),))
+        kernel = functools.partial(_int4_matmul_kernel, n_k=n_k)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_m, n_n, n_k),
+            in_specs=[
+                pl.BlockSpec((1, bm, bkp), lambda m, n, k: (0, m, k)),
+                pl.BlockSpec((1, bm, bkp),
+                             lambda m, n, k: (0, m, k + n_k)),
+                pl.BlockSpec((1, bkp, bn), lambda m, n, k: (0, k, n)),
+                pl.BlockSpec((1, 1, bn), lambda m, n, k: (0, 0, n)),
+            ],
+            out_specs=pl.BlockSpec((1, bm, bn), lambda m, n, k: (0, m, n)),
+            out_shape=jax.ShapeDtypeStruct((1, m_pad, n_pad), x.dtype),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * K * N,
+                bytes_accessed=x2.size * x2.dtype.itemsize + q.size,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x2[None], x2[None], q[None], scale.reshape(1, 1, n_pad))
+        return out[0, :M, :N].reshape(orig_shape[:-1] + (N,))
+
+    bk = min(block_k, _round_up(K, 128))
+    k_pad = _round_up(K, bk)
+    if m_pad != M or k_pad != K:
+        x2 = jnp.pad(x2, ((0, m_pad - M), (0, k_pad - K)))
+    if k_pad != K or n_pad != N:
+        q = jnp.pad(q, ((0, k_pad - K), (0, n_pad - N)))
+    if n_pad != N:
+        scale = jnp.pad(scale, ((0, n_pad - N),))
+
+    n_k = k_pad // bk
+    kernel = functools.partial(_quant_matmul_kernel, n_k=n_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_m, n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((1, bm, bk), lambda m, n, k: (0, m, k)),
+            pl.BlockSpec((1, bk, bn), lambda m, n, k: (0, k, n)),
+            pl.BlockSpec((1, 1, bn), lambda m, n, k: (0, 0, n)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda m, n, k: (0, m, n)),
+        out_shape=jax.ShapeDtypeStruct((1, m_pad, n_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=x2.size * x2.dtype.itemsize + q.size * q.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2[None], q[None], scale.reshape(1, 1, n_pad))
+    return out[0, :M, :N].reshape(orig_shape[:-1] + (N,))
+
+
+# ---------------------------------------------------------------------------
+# Linear dispatch (dense or quantized)
+# ---------------------------------------------------------------------------
+
+def linear(x: jax.Array, w, bias=None, *, interpret: bool = False) -> jax.Array:
+    """x @ w (+ bias) where w is a plain array or a QTensor."""
+    if isinstance(w, QTensor):
+        if interpret or w.fmt == "fp8":
+            # fp8 dequant matmul goes through XLA (bf16 upcast fuses fine);
+            # interpret mode avoids the Pallas path entirely.
+            out = x @ dequantize(w, x.dtype)
+        else:
+            out = quant_matmul(x, w.q, w.scale, fmt=w.fmt, interpret=interpret)
+        return out + bias if bias is not None else out
+    out = x @ w
+    return out + bias if bias is not None else out

@@ -8,6 +8,11 @@ from mlio_tpu.runtime.kv_cache import (
 )
 from mlio_tpu.runtime.generate import generate, greedy_generate
 from mlio_tpu.runtime.sampling import SamplingMethod, sample
+from mlio_tpu.runtime.quantization import (
+    calibrate_activation_scales,
+    quantize_params,
+    quantized_size_bytes,
+)
 
 __all__ = [
     "BlockManager",
@@ -19,5 +24,8 @@ __all__ = [
     "generate",
     "greedy_generate",
     "SamplingMethod",
+    "quantize_params",
+    "quantized_size_bytes",
+    "calibrate_activation_scales",
     "sample",
 ]
