@@ -5,6 +5,11 @@ from mlio_tpu.parallel.tensor_parallel import (
     shard_params,
     validate_tp_divisibility,
 )
+from mlio_tpu.parallel.sequence_parallel import (
+    gather_sequence,
+    scatter_sequence,
+    sequence_parallel_attention,
+)
 
 __all__ = [
     "AXES",
@@ -15,4 +20,7 @@ __all__ = [
     "param_specs",
     "shard_params",
     "validate_tp_divisibility",
+    "gather_sequence",
+    "scatter_sequence",
+    "sequence_parallel_attention",
 ]

@@ -1,0 +1,158 @@
+"""Sequence parallelism over the mesh: ring / full / local attention +
+Ulysses all-to-all, via shard_map collectives.
+
+Rebuild of /root/reference/parallelism/sequence_parallel.py (1,050 LoC of
+module wrappers, comm-buffer pools and per-step NCCL ring_exchange,
+communication.py:1694-1831) in the TPU idiom: ONE shard_map whose body
+rotates K/V around the ICI ring with ``jax.lax.ppermute`` while each step
+accumulates blockwise attention with the correct (m, l) merge — XLA's
+latency-hiding scheduler overlaps the permute with compute, replacing the
+reference's manual send/recv CUDA streams.
+
+Strategies (parity: SequenceParallelConfig.attention_handling ∈
+{local, ring, full}, sequence_parallel.py:21-85, + Ulysses upgrade the
+reference lacks, SURVEY.md §2.5):
+  * ring  — K/V rotate; memory O(S/sp) per device.
+  * full  — all_gather K/V over the seq axis (sequence_parallel.py:587-640).
+  * local — each shard attends only to its own chunk (block-diagonal
+            approximation; sequence_parallel.py:480-517).
+  * ulysses — all_to_all redistributes heads↔sequence so each device runs
+            dense attention on all positions for H/sp heads.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mlio_tpu.ops.ring_attention import chunk_step, finalize, init_stats
+
+
+def _local_ring_body(q, k, v, *, axis: str, causal: bool, scale: float):
+    """shard_map body: q/k/v are the LOCAL [B, S_loc, H(q|kv), D] shards."""
+    sp = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    B, S_loc, Hq, D = q.shape
+
+    qf = q.astype(jnp.float32)
+    q_pos = idx * S_loc + jnp.arange(S_loc)
+
+    def step(carry, s):
+        m, l, acc, kc, vc = carry
+        # Chunk currently held: started as our own (idx), each ppermute step
+        # hands us our left neighbor's, i.e. chunk (idx - s) mod sp.
+        chunk_idx = (idx - s) % sp
+        k_pos = chunk_idx * S_loc + jnp.arange(S_loc)
+        m, l, acc = chunk_step(qf, kc, vc, m, l, acc, scale=scale,
+                               q_positions=q_pos, k_positions=k_pos,
+                               causal=causal)
+        # Rotate K/V around the ring (reference: ring_exchange
+        # communication.py:1694-1831 → one ppermute).
+        perm = [(i, (i + 1) % sp) for i in range(sp)]
+        kc = lax.ppermute(kc, axis, perm)
+        vc = lax.ppermute(vc, axis, perm)
+        return (m, l, acc, kc, vc), None
+
+    m, l, acc = init_stats(B, Hq, S_loc, D)
+    (m, l, acc, _, _), _ = lax.scan(step, (m, l, acc, k, v),
+                                    jnp.arange(sp))
+    return finalize(m, l, acc, q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "causal", "scale",
+                                             "strategy"))
+def sequence_parallel_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    *,
+    axis: str = "seq",
+    causal: bool = True,
+    scale: Optional[float] = None,
+    strategy: str = "ring",
+) -> jax.Array:
+    """Attention with q/k/v sharded on the sequence dim over ``axis``.
+
+    q [B, S, Hq, D], k/v [B, S, Hkv, D] (global shapes; S divisible by the
+    axis size). Returns [B, S, Hq, D] with the same sharding.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    spec = P(None, axis, None, None)
+
+    if strategy == "ring":
+        body = functools.partial(_local_ring_body, axis=axis, causal=causal,
+                                 scale=scale)
+    elif strategy == "full":
+        def body(q, k, v):
+            # all-gather K/V over the ring, then one local blockwise pass
+            kg = lax.all_gather(k, axis, axis=1, tiled=True)
+            vg = lax.all_gather(v, axis, axis=1, tiled=True)
+            sp = lax.axis_size(axis)
+            idx = lax.axis_index(axis)
+            B, S_loc, Hq, D = q.shape
+            q_pos = idx * S_loc + jnp.arange(S_loc)
+            k_pos = jnp.arange(S_loc * sp)
+            m, l, acc = init_stats(B, Hq, S_loc, D)
+            m, l, acc = chunk_step(q.astype(jnp.float32), kg, vg, m, l, acc,
+                                   scale=scale, q_positions=q_pos,
+                                   k_positions=k_pos, causal=causal)
+            return finalize(m, l, acc, q.dtype)
+    elif strategy == "local":
+        def body(q, k, v):
+            sp = lax.axis_size(axis)
+            idx = lax.axis_index(axis)
+            B, S_loc, Hq, D = q.shape
+            pos = idx * S_loc + jnp.arange(S_loc)
+            m, l, acc = init_stats(B, Hq, S_loc, D)
+            m, l, acc = chunk_step(q.astype(jnp.float32), k, v, m, l, acc,
+                                   scale=scale, q_positions=pos,
+                                   k_positions=pos, causal=causal)
+            return finalize(m, l, acc, q.dtype)
+    elif strategy == "ulysses":
+        def body(q, k, v):
+            sp = lax.axis_size(axis)
+            # heads↔seq all_to_all: [B, S/sp, H, D] → [B, S, H/sp, D]
+            qa = lax.all_to_all(q, axis, split_axis=2, concat_axis=1,
+                                tiled=True)
+            ka = lax.all_to_all(k, axis, split_axis=2, concat_axis=1,
+                                tiled=True)
+            va = lax.all_to_all(v, axis, split_axis=2, concat_axis=1,
+                                tiled=True)
+            B, S, Hq_loc, D = qa.shape
+            pos = jnp.arange(S)
+            m, l, acc = init_stats(B, Hq_loc, S, D)
+            m, l, acc = chunk_step(qa.astype(jnp.float32), ka, va, m, l, acc,
+                                   scale=scale, q_positions=pos,
+                                   k_positions=pos, causal=causal)
+            out = finalize(m, l, acc, q.dtype)
+            # back: [B, S, H/sp, D] → [B, S/sp, H, D]
+            return lax.all_to_all(out, axis, split_axis=1, concat_axis=2,
+                                  tiled=True)
+    else:
+        raise ValueError(f"unknown strategy {strategy}")
+
+    fn = shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                   out_specs=spec, check_vma=False)
+    return fn(q, k, v)
+
+
+def scatter_sequence(x: jax.Array, mesh: Mesh, axis: str = "seq",
+                     dim: int = 1) -> jax.Array:
+    """Place x sharded along its sequence dim (parity:
+    scatter_along_sequence_dim communication.py:621)."""
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def gather_sequence(x: jax.Array) -> jax.Array:
+    """Gather a seq-sharded array to fully replicated (parity:
+    gather_along_sequence_dim communication.py:663)."""
+    return jax.device_get(x)
