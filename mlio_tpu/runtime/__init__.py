@@ -8,6 +8,8 @@ from mlio_tpu.runtime.kv_cache import (
 )
 from mlio_tpu.runtime.generate import generate, greedy_generate
 from mlio_tpu.runtime.sampling import SamplingMethod, sample
+from mlio_tpu.runtime.engine import InferenceEngine, Request
+from mlio_tpu.runtime.paged_forward import decode_paged, prefill_paged
 from mlio_tpu.runtime.quantization import (
     calibrate_activation_scales,
     quantize_params,
@@ -22,6 +24,10 @@ __all__ = [
     "calculate_num_blocks",
     "init_cache",
     "generate",
+    "InferenceEngine",
+    "Request",
+    "decode_paged",
+    "prefill_paged",
     "greedy_generate",
     "SamplingMethod",
     "quantize_params",

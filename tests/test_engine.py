@@ -1,0 +1,86 @@
+"""Continuous-batching engine tests: paged decode equivalence with the dense
+path, slot/block lifecycle, queue admission under memory pressure."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mlio_tpu.models import Impl, get_spec, init_params
+from mlio_tpu.runtime import greedy_generate
+from mlio_tpu.runtime.engine import InferenceEngine
+from mlio_tpu.runtime.sampling import SamplingMethod
+
+
+@pytest.fixture(scope="module", params=["gpt2-tiny", "llama-tiny"])
+def model(request):
+    spec = get_spec(request.param)
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return spec, params
+
+
+def test_engine_matches_dense_generate(model):
+    """Paged continuous-batching greedy output == dense-cache greedy output."""
+    spec, params = model
+    prompts = [[5, 9, 2, 7], [11, 3], [1, 2, 3, 4, 5, 6, 7]]
+    T = 6
+
+    engine = InferenceEngine(spec, params, max_batch=4, max_seq_len=64,
+                             dtype=jnp.float32,
+                             method=SamplingMethod(temperature=0.0))
+    outs = engine.run(prompts, max_new_tokens=T)
+
+    for p, out in zip(prompts, outs):
+        dense = greedy_generate(params, spec, jnp.asarray([p]),
+                                max_new_tokens=T)
+        expected = np.asarray(dense)[0, len(p):].tolist()
+        assert out == expected, (p, out, expected)
+
+
+def test_engine_blocks_reclaimed(model):
+    spec, params = model
+    engine = InferenceEngine(spec, params, max_batch=2, max_seq_len=32,
+                             dtype=jnp.float32,
+                             method=SamplingMethod(temperature=0.0))
+    free0 = engine.manager.num_free
+    engine.run([[1, 2, 3]], max_new_tokens=4)
+    assert engine.manager.num_free == free0
+    assert engine.num_active == 0
+    stats = engine.memory_stats()
+    assert stats["generated_tokens"] == 4
+
+
+def test_engine_more_requests_than_slots(model):
+    """6 requests through 2 slots: queue drains via continuous batching."""
+    spec, params = model
+    engine = InferenceEngine(spec, params, max_batch=2, max_seq_len=32,
+                             dtype=jnp.float32,
+                             method=SamplingMethod(temperature=0.0))
+    prompts = [[i + 1, i + 2, i + 3] for i in range(6)]
+    outs = engine.run(prompts, max_new_tokens=3)
+    assert len(outs) == 6
+    for p, out in zip(prompts, outs):
+        dense = greedy_generate(params, spec, jnp.asarray([p]),
+                                max_new_tokens=3)
+        assert out == np.asarray(dense)[0, len(p):].tolist()
+
+
+def test_engine_eos_stops_early(model):
+    spec, params = model
+    # find what greedy generates first, use it as the EOS token
+    dense = greedy_generate(params, spec, jnp.asarray([[4, 5, 6]]),
+                            max_new_tokens=1)
+    eos = int(np.asarray(dense)[0, -1])
+    engine = InferenceEngine(spec, params, max_batch=2, max_seq_len=32,
+                             dtype=jnp.float32,
+                             method=SamplingMethod(temperature=0.0))
+    outs = engine.run([[4, 5, 6]], max_new_tokens=8, eos_token=eos)
+    assert outs[0][-1] == eos
+    assert len(outs[0]) == 1  # stopped at the first token
+
+
+def test_engine_rejects_oversized_prompt(model):
+    spec, params = model
+    engine = InferenceEngine(spec, params, max_batch=1, max_seq_len=16,
+                             dtype=jnp.float32)
+    with pytest.raises(AssertionError):
+        engine.submit(list(range(15)), max_new_tokens=8)
