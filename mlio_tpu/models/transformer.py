@@ -136,6 +136,49 @@ def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     return x.reshape(B, S, num_heads, -1)
 
 
+def run_layer_stack(x: jax.Array, blocks, spec: ModelSpec, impl: Impl,
+                    cos=None, sin=None) -> jax.Array:
+    """Run a stack of transformer blocks (no KV cache) over x [B, S, H].
+
+    Shared by the cache-free path consumers and the pipeline orchestrator,
+    which shards the stacked-layer axis across the "pipe" mesh axis and
+    calls this per stage.
+    """
+    B, S, _ = x.shape
+
+    def block_fn(x, bp):
+        h_norm = ops.norm(x, bp["ln1_scale"], bp["ln1_bias"], kind=spec.norm,
+                          eps=spec.norm_eps, impl=impl)
+        if impl.fused_ln_qkv:
+            q, k, v = ops.fused_ln_qkv(
+                x, bp["ln1_scale"], bp["ln1_bias"],
+                bp["wq"], bp["bq"], bp["wk"], bp["bk"], bp["wv"], bp["bv"],
+                kind=spec.norm, eps=spec.norm_eps, impl=impl)
+        else:
+            q = ops.linear(h_norm, bp["wq"], bp["bq"], impl=impl)
+            k = ops.linear(h_norm, bp["wk"], bp["bk"], impl=impl)
+            v = ops.linear(h_norm, bp["wv"], bp["bv"], impl=impl)
+        q = _split_heads(q, spec.num_heads)
+        k = _split_heads(k, spec.num_kv_heads)
+        v = _split_heads(v, spec.num_kv_heads)
+        if cos is not None:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+        attn = ops.attention(q, k, v, causal=True, impl=impl)
+        attn = attn.reshape(B, S, spec.q_dim)
+        x = x + ops.linear(attn, bp["wo"], bp["bo"], impl=impl)
+        h_norm = ops.norm(x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
+                          eps=spec.norm_eps, impl=impl)
+        x = x + ops.mlp(h_norm, bp["w_up"], bp["w_down"],
+                        b_up=bp["b_up"], b_down=bp["b_down"],
+                        w_gate=bp["w_gate"], b_gate=bp["b_gate"],
+                        activation=spec.activation, impl=impl)
+        return x, None
+
+    x, _ = jax.lax.scan(block_fn, x, blocks)
+    return x
+
+
 def forward(
     params: Params,
     spec: ModelSpec,

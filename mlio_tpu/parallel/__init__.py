@@ -10,6 +10,24 @@ from mlio_tpu.parallel.sequence_parallel import (
     scatter_sequence,
     sequence_parallel_attention,
 )
+from mlio_tpu.parallel.collectives import (
+    all_gather,
+    all_reduce,
+    all_to_all,
+    barrier,
+    broadcast,
+    estimate_collective_time,
+    reduce_scatter,
+    ring_exchange,
+)
+from mlio_tpu.parallel.auto_config import (
+    AutoParallelConfig,
+    CandidatePlan,
+    HardwareSpec,
+    ParallelismCostModel,
+    detect_hardware,
+)
+from mlio_tpu.parallel.orchestrator import ParallelOrchestrator, ParallelPlan
 
 __all__ = [
     "AXES",
@@ -23,4 +41,19 @@ __all__ = [
     "gather_sequence",
     "scatter_sequence",
     "sequence_parallel_attention",
+    "all_gather",
+    "all_reduce",
+    "all_to_all",
+    "barrier",
+    "broadcast",
+    "estimate_collective_time",
+    "reduce_scatter",
+    "ring_exchange",
+    "AutoParallelConfig",
+    "CandidatePlan",
+    "HardwareSpec",
+    "ParallelismCostModel",
+    "detect_hardware",
+    "ParallelOrchestrator",
+    "ParallelPlan",
 ]

@@ -20,13 +20,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "seq", "tensor")
+AXES = ("data", "seq", "pipe", "tensor")
 
 
 def make_mesh(
     data: int = 1,
     seq: int = 1,
     tensor: int = 1,
+    pipe: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
@@ -37,11 +38,12 @@ def make_mesh(
     """
     if devices is None:
         devices = jax.devices()
-    world = data * seq * tensor
+    world = data * seq * pipe * tensor
     if world > len(devices):
         raise ValueError(
-            f"mesh {data}x{seq}x{tensor}={world} exceeds {len(devices)} devices")
-    devs = np.asarray(devices[:world]).reshape(data, seq, tensor)
+            f"mesh {data}x{seq}x{pipe}x{tensor}={world} exceeds "
+            f"{len(devices)} devices")
+    devs = np.asarray(devices[:world]).reshape(data, seq, pipe, tensor)
     return Mesh(devs, AXES)
 
 
