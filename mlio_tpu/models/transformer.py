@@ -216,8 +216,10 @@ def forward(
 
     kv_len = cache_pos + S if cache is not None else None
 
+    quant_cache = cache is not None and "k_scale" in cache
+
     def block_fn(x, layer_inputs):
-        bp, cache_k, cache_v = layer_inputs
+        bp, cache_k, cache_v, cache_ks, cache_vs = layer_inputs
         # --- attention sublayer ---
         h_norm = ops.norm(x, bp["ln1_scale"], bp["ln1_bias"], kind=spec.norm,
                           eps=spec.norm_eps, impl=impl)
@@ -240,13 +242,32 @@ def forward(
         if cache_k is not None:
             # Write the S new tokens into the cache at cache_pos, then attend
             # over the full static-shape cache with a kv_len mask.
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, cache_pos, 0, 0))
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, cache_pos, 0, 0))
-            attn_k, attn_v = cache_k.astype(dtype), cache_v.astype(dtype)
-            attn = ops.attention(q, attn_k, attn_v, causal=True,
-                                 q_offset=cache_pos, kv_len=kv_len, impl=impl)
+            if quant_cache:
+                from mlio_tpu.ops.quant import quantize_kv
+
+                kq, ks = quantize_kv(k)
+                vq, vs = quantize_kv(v)
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, kq, (0, cache_pos, 0, 0))
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, vq, (0, cache_pos, 0, 0))
+                cache_ks = jax.lax.dynamic_update_slice(
+                    cache_ks, ks, (0, cache_pos, 0))
+                cache_vs = jax.lax.dynamic_update_slice(
+                    cache_vs, vs, (0, cache_pos, 0))
+                attn = ops.attention(q, cache_k, cache_v, causal=True,
+                                     q_offset=cache_pos, kv_len=kv_len,
+                                     k_scale=cache_ks, v_scale=cache_vs,
+                                     impl=impl)
+            else:
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, k.astype(cache_k.dtype), (0, cache_pos, 0, 0))
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, v.astype(cache_v.dtype), (0, cache_pos, 0, 0))
+                attn = ops.attention(q, cache_k.astype(dtype),
+                                     cache_v.astype(dtype), causal=True,
+                                     q_offset=cache_pos, kv_len=kv_len,
+                                     impl=impl)
         else:
             attn = ops.attention(q, k, v, causal=True, impl=impl)
 
@@ -261,15 +282,21 @@ def forward(
                           w_gate=bp["w_gate"], b_gate=bp["b_gate"],
                           activation=spec.activation, impl=impl)
         x = x + mlp_out
-        return x, (cache_k, cache_v)
+        return x, (cache_k, cache_v, cache_ks, cache_vs)
 
     blocks = params["blocks"]
     if cache is not None:
-        x, (new_k, new_v) = jax.lax.scan(block_fn, x, (blocks, cache["k"], cache["v"]))
+        xs = (blocks, cache["k"], cache["v"],
+              cache.get("k_scale"), cache.get("v_scale"))
+        x, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(block_fn, x, xs)
         new_cache = {"k": new_k, "v": new_v, "pos": cache_pos + S}
+        if quant_cache:
+            new_cache["k_scale"] = new_ks
+            new_cache["v_scale"] = new_vs
     else:
-        x, _ = jax.lax.scan(lambda c, bp: (block_fn(c, (bp, None, None))[0], None),
-                            x, blocks)
+        x, _ = jax.lax.scan(
+            lambda c, bp: (block_fn(c, (bp, None, None, None, None))[0], None),
+            x, blocks)
         new_cache = None
 
     x = ops.norm(x, params["final_scale"], params["final_bias"], kind=spec.norm,

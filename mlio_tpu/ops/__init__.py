@@ -33,22 +33,32 @@ def _use_interpret(impl) -> bool:
 
 
 def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
-              bias=None, impl=None):
-    """Multi-head attention dispatcher. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D]."""
+              bias=None, k_scale=None, v_scale=None, impl=None):
+    """Multi-head attention dispatcher. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D].
+
+    ``k_scale``/``v_scale`` [B,Skv,Hkv] mark an INT8-quantized KV cache;
+    the flash kernel fuses the dequant, the dense path dequantizes upfront.
+    """
     kind = impl.attention if impl is not None else "dense"
     if kind == "flash":
         from mlio_tpu.ops import flash_attention as fa
         return fa.flash_attention(
             q, k, v, causal=causal, scale=scale, q_offset=q_offset,
-            kv_len=kv_len, block_q=impl.block_q, block_kv=impl.block_kv,
+            kv_len=kv_len, k_scale=k_scale, v_scale=v_scale,
+            block_q=impl.block_q, block_kv=impl.block_kv,
             interpret=_use_interpret(impl))
     if kind == "ring":
         from mlio_tpu.ops import ring_attention as ra
+        if k_scale is not None:
+            from mlio_tpu.ops.quant import dequantize_kv
+            k = dequantize_kv(k, k_scale, q.dtype)
+            v = dequantize_kv(v, v_scale, q.dtype)
         return ra.chunked_ring_attention(
             q, k, v, causal=causal, scale=scale, q_offset=q_offset,
             kv_len=kv_len, chunk_size=impl.ring_chunk)
     return attention_reference(q, k, v, causal=causal, scale=scale,
-                               q_offset=q_offset, kv_len=kv_len, bias=bias)
+                               q_offset=q_offset, kv_len=kv_len, bias=bias,
+                               k_scale=k_scale, v_scale=v_scale)
 
 
 def linear(x, w, bias=None, *, impl=None):

@@ -106,6 +106,76 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, *,
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
 
 
+def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
+                          kscale_ref, vscale_ref, o_ref, *, scale: float,
+                          block_kv: int, causal: bool, skv: int, sq: int):
+    """INT8-KV variant: k/v arrive as int8 with per-(token, head) scales.
+
+    Dequantization is algebraically fused into the attention math so the MXU
+    never sees a dequantized K/V tile:
+      scores = (q · k_int8) * k_scale[col]      (K scale applied post-dot)
+      pv     = (p * v_scale[col]) · v_int8      (V scale folded into p)
+    This keeps cached bytes at 1 B/element across HBM — the INT8 KV cache
+    capability (BASELINE.md; SURVEY.md §7 "fusing dequant into the attention
+    inner loop").
+    """
+    qi = pl.program_id(2)
+    bq = q_ref.shape[2]
+    D = q_ref.shape[3]
+
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    kvlen = kvlen_ref[pl.program_id(0)]
+    qoff = qoff_ref[0]
+    q_start = qi * bq
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+
+    num_kv_blocks = pl.cdiv(skv, block_kv)
+    limit = jnp.minimum(num_kv_blocks, pl.cdiv(kvlen, block_kv))
+    if causal:
+        limit = jnp.minimum(limit, pl.cdiv(q_start + qoff + bq, block_kv))
+
+    row_abs = (q_start + qoff
+               + lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0))
+
+    def body(j, carry):
+        m, l, acc = carry
+        ks = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :]  # int8 [bkv, D]
+        vs = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :]
+        ksc = kscale_ref[0, :, pl.ds(j * block_kv, block_kv)]  # [1, bkv]
+        vsc = vscale_ref[0, :, pl.ds(j * block_kv, block_kv)]
+        s = lax.dot_general(q, ks.astype(jnp.bfloat16),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        s = s * ksc.astype(jnp.float32)  # [bq, bkv] * [1, bkv]
+
+        col_abs = j * block_kv + lax.broadcasted_iota(
+            jnp.int32, (bq, block_kv), 1)
+        mask = col_abs < kvlen
+        if causal:
+            mask = jnp.logical_and(mask, row_abs >= col_abs)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+        alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
+        p = jnp.exp(s - m_safe)
+        p = jnp.where(mask, p, 0.0)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        p_scaled = (p * vsc.astype(jnp.float32)).astype(jnp.bfloat16)
+        pv = lax.dot_general(p_scaled, vs.astype(jnp.bfloat16),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        acc = acc * alpha + pv
+        return m_new, l, acc
+
+    m, l, acc = lax.fori_loop(0, limit, body, (m0, l0, acc0))
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -123,6 +193,8 @@ def flash_attention(
     scale: Optional[float] = None,
     q_offset=0,
     kv_len=None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
     block_q: int = 256,
     block_kv: int = 512,
     interpret: bool = False,
@@ -165,37 +237,64 @@ def flash_attention(
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, skv_pad - Skv), (0, 0)))
 
     grid = (B, Hq, sq_pad // bq)
-    kernel = functools.partial(
-        _flash_fwd_kernel, scale=scale, block_kv=bkv, causal=causal,
-        skv=skv_pad, sq=Sq)
-
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                # index maps receive (*grid_indices, *scalar_prefetch_refs)
-                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, skv_pad, D),
-                             lambda b, h, i, *_: (b, h // group, 0, 0)),
-                pl.BlockSpec((1, 1, skv_pad, D),
-                             lambda b, h, i, *_: (b, h // group, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, bq, D),
-                                   lambda b, h, i, *_: (b, h, i, 0)),
-        ),
+    kv_quant = k_scale is not None
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((B, Hq, sq_pad, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * Sq * Skv * D,
-            bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
+            bytes_accessed=(qt.size * qt.dtype.itemsize
+                            + (kt.size + vt.size) * kt.dtype.itemsize),
             transcendentals=B * Hq * Sq * Skv,
         ),
         interpret=interpret,
-    )(kvlen_arr, qoff_arr, qt, kt, vt)
+    )
+    # index maps receive (*grid_indices, *scalar_prefetch_refs)
+    q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
+    kv_spec = pl.BlockSpec((1, 1, skv_pad, D),
+                           lambda b, h, i, *_: (b, h // group, 0, 0))
+    out_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
+
+    if kv_quant:
+        # scales [B, Skv, Hkv] -> [B, Hkv, Skv], padded with ones
+        ksc = k_scale.transpose(0, 2, 1).astype(jnp.float32)
+        vsc = v_scale.transpose(0, 2, 1).astype(jnp.float32)
+        if skv_pad != Skv:
+            ksc = jnp.pad(ksc, ((0, 0), (0, 0), (0, skv_pad - Skv)),
+                          constant_values=1.0)
+            vsc = jnp.pad(vsc, ((0, 0), (0, 0), (0, skv_pad - Skv)),
+                          constant_values=1.0)
+        sc_spec = pl.BlockSpec((1, 1, skv_pad),
+                               lambda b, h, i, *_: (b, h // group, 0))
+        kernel = functools.partial(
+            _flash_fwd_kernel_kvq, scale=scale, block_kv=bkv, causal=causal,
+            skv=skv_pad, sq=Sq)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[q_spec, kv_spec, kv_spec, sc_spec, sc_spec],
+                out_specs=out_spec,
+            ),
+            **common,
+        )(kvlen_arr, qoff_arr, qt, kt, vt, ksc, vsc)
+    else:
+        kernel = functools.partial(
+            _flash_fwd_kernel, scale=scale, block_kv=bkv, causal=causal,
+            skv=skv_pad, sq=Sq)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[q_spec, kv_spec, kv_spec],
+                out_specs=out_spec,
+            ),
+            **common,
+        )(kvlen_arr, qoff_arr, qt, kt, vt)
 
     out = out[:, :, :Sq, :].transpose(0, 2, 1, 3)
     return out

@@ -38,10 +38,57 @@ NEG_INF = float("-inf")
 
 
 def init_kv_pools(num_layers: int, num_blocks: int, num_kv_heads: int,
-                  block_size: int, head_dim: int, dtype=jnp.bfloat16):
-    """Allocate K/V pools [L, NB, bs, Hkv, D]."""
+                  block_size: int, head_dim: int, dtype=jnp.bfloat16,
+                  quant: Optional[str] = None):
+    """Allocate K/V pools [L, NB, bs, Hkv, D].
+
+    ``quant="int8"`` returns (k, v, k_scale, v_scale) with int8 pools and
+    per-(slot, head) fp32 scale pools [L, NB, bs, Hkv]."""
     shape = (num_layers, num_blocks, block_size, num_kv_heads, head_dim)
+    if quant == "int8":
+        sshape = shape[:-1]
+        return (jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32))
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _scatter_scales(pool: jax.Array, scales: jax.Array, flat_idx: jax.Array,
+                    B: int, S_new: int, Hkv: int) -> jax.Array:
+    """Scatter [B, S_new, Hkv] scales into a [L, NB, bs, Hkv] pool."""
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),
+        inserted_window_dims=(0, 1, 2),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+    upd = scales.reshape(B * S_new, Hkv)
+    return lax.scatter(pool, flat_idx, upd.astype(pool.dtype), dnums,
+                       indices_are_sorted=False, unique_indices=True,
+                       mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def reshape_and_cache_quant(
+    k_pool, v_pool, ks_pool, vs_pool,
+    k_new, v_new, block_tables, write_pos, layer,
+):
+    """INT8 variant: quantize per (token, head), write values + scales."""
+    from mlio_tpu.ops.quant import quantize_kv
+
+    B, S_new, Hkv, D = k_new.shape
+    bs = k_pool.shape[2]
+    kq, ksc = quantize_kv(k_new)
+    vq, vsc = quantize_kv(v_new)
+    k_pool, v_pool = reshape_and_cache(k_pool, v_pool, kq, vq, block_tables,
+                                       write_pos, layer)
+    pos = write_pos[:, None] + jnp.arange(S_new)[None, :]
+    logical = pos // bs
+    offset = pos % bs
+    physical = jnp.take_along_axis(block_tables, logical, axis=1)
+    flat_idx = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (B, S_new)),
+        physical, offset], axis=-1).reshape(-1, 3)
+    ks_pool = _scatter_scales(ks_pool, ksc, flat_idx, B, S_new, Hkv)
+    vs_pool = _scatter_scales(vs_pool, vsc, flat_idx, B, S_new, Hkv)
+    return k_pool, v_pool, ks_pool, vs_pool
 
 
 # ---------------------------------------------------------------------------
@@ -99,8 +146,11 @@ def reshape_and_cache(
 # ---------------------------------------------------------------------------
 
 def _paged_attn_kernel(tables_ref, ctx_ref, layer_ref, q_ref, k_ref, v_ref,
-                       o_ref, m_ref, l_ref, acc_ref, *, block_size, scale,
-                       n_blocks):
+                       *refs, block_size, scale, n_blocks, kv_quant=False):
+    if kv_quant:
+        ksc_ref, vsc_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = refs
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -122,6 +172,9 @@ def _paged_attn_kernel(tables_ref, ctx_ref, layer_ref, q_ref, k_ref, v_ref,
         # on the VPU where a G=1 batched dot would use 1 sublane.
         qf = q.astype(jnp.float32) * scale            # [Hkv, G, D]
         kf = ks.astype(jnp.float32).swapaxes(0, 1)    # [Hkv, bs, D]
+        if kv_quant:
+            # dequant fused: int8 values * per-(slot, head) scale
+            kf = kf * ksc_ref[0, 0].swapaxes(0, 1)[:, :, None]
         s = jnp.sum(qf[:, :, None, :] * kf[:, None, :, :], axis=-1)
         # s: [Hkv, G, bs]
         col = start + lax.broadcasted_iota(jnp.int32, s.shape, 2)
@@ -134,6 +187,8 @@ def _paged_attn_kernel(tables_ref, ctx_ref, layer_ref, q_ref, k_ref, v_ref,
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         l_ref[:] = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         vf = vs.astype(jnp.float32).swapaxes(0, 1)    # [Hkv, bs, D]
+        if kv_quant:
+            vf = vf * vsc_ref[0, 0].swapaxes(0, 1)[:, :, None]
         pv = jnp.sum(p[:, :, :, None] * vf[:, None, :, :], axis=2)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
@@ -157,6 +212,8 @@ def paged_attention(
     *,
     layer,
     scale: Optional[float] = None,
+    k_scale_pool: Optional[jax.Array] = None,  # [L, NB, bs, Hkv] (int8 KV)
+    v_scale_pool: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode attention over the paged cache → [B, Hq, D].
@@ -184,17 +241,31 @@ def paged_attention(
         return (layer_ref[0], tables[b, jj], 0, 0, 0)
 
     grid = (B, max_blocks)
+    kv_quant = k_scale_pool is not None
+
+    def sc_index(b, j, tables, ctx, layer_ref):
+        last = jnp.maximum(ctx[b] - 1, 0) // bs
+        jj = jnp.minimum(j, last)
+        return (layer_ref[0], tables[b, jj], 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, Hkv, G, D), lambda b, j, *_: (b, 0, 0, 0)),
+        pl.BlockSpec((1, 1, bs, Hkv, D), kv_index),
+        pl.BlockSpec((1, 1, bs, Hkv, D), kv_index),
+    ]
+    operands = [qg, k_pool, v_pool]
+    if kv_quant:
+        in_specs += [pl.BlockSpec((1, 1, bs, Hkv), sc_index),
+                     pl.BlockSpec((1, 1, bs, Hkv), sc_index)]
+        operands += [k_scale_pool, v_scale_pool]
+
     out = pl.pallas_call(
         functools.partial(_paged_attn_kernel, block_size=bs, scale=scale,
-                          n_blocks=max_blocks),
+                          n_blocks=max_blocks, kv_quant=kv_quant),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, Hkv, G, D), lambda b, j, *_: (b, 0, 0, 0)),
-                pl.BlockSpec((1, 1, bs, Hkv, D), kv_index),
-                pl.BlockSpec((1, 1, bs, Hkv, D), kv_index),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, Hkv, G, D),
                                    lambda b, j, *_: (b, 0, 0, 0)),
             scratch_shapes=[
@@ -208,7 +279,7 @@ def paged_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(block_tables, context_lens, layer_arr, qg, k_pool, v_pool)
+    )(block_tables, context_lens, layer_arr, *operands)
     return out.reshape(B, Hq, D)
 
 

@@ -296,3 +296,28 @@ def linear(x: jax.Array, w, bias=None, *, interpret: bool = False) -> jax.Array:
         return out + bias if bias is not None else out
     out = x @ w
     return out + bias if bias is not None else out
+
+
+# ---------------------------------------------------------------------------
+# KV-cache quantization
+# ---------------------------------------------------------------------------
+
+def quantize_kv(x: jax.Array):
+    """Per-(token, head) symmetric INT8 for K/V tensors [..., D].
+
+    Returns (q int8 [..., D], scale f32 [...]). The scale granularity is one
+    value per attention row — fine enough to hold accuracy (K/V rows are
+    near-isotropic after RoPE/layernorm), coarse enough that the scales add
+    <1% memory. Dequant happens INSIDE the attention kernels
+    (ops/flash_attention.py, ops/paged_attention.py) so cached bytes cross
+    HBM at 1 byte/element — the INT8 KV-cache capability from BASELINE.md.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)

@@ -28,6 +28,8 @@ def attention_reference(
     q_offset=0,
     kv_len=None,
     bias: Optional[jax.Array] = None,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dense softmax attention with GQA, causal masking and KV-length masking.
 
@@ -41,6 +43,11 @@ def attention_reference(
     if scale is None:
         scale = D ** -0.5
     group = Hq // Hkv
+
+    if k_scale is not None:
+        # INT8 KV cache: dequantize densely (the kernels fuse this instead)
+        k = k.astype(jnp.float32) * k_scale.astype(jnp.float32)[..., None]
+        v = v.astype(jnp.float32) * v_scale.astype(jnp.float32)[..., None]
 
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)

@@ -22,7 +22,8 @@ from mlio_tpu.runtime import sampling
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "impl", "max_new_tokens", "cache_len", "method"),
+    static_argnames=("spec", "impl", "max_new_tokens", "cache_len", "method",
+                     "cache_quant"),
 )
 def _generate_impl(
     params,
@@ -34,10 +35,11 @@ def _generate_impl(
     max_new_tokens: int,
     cache_len: int,
     method: sampling.SamplingMethod,
+    cache_quant=None,
 ) -> jax.Array:
     B, S = input_ids.shape
     cache = init_cache(spec, B, cache_len,
-                       dtype=params["tok_embed"].dtype)
+                       dtype=params["tok_embed"].dtype, quant=cache_quant)
 
     # Prefill: score the whole prompt once, take the last position's logits.
     logits, cache = forward(params, spec, input_ids, impl=impl, cache=cache)
@@ -69,6 +71,7 @@ def generate(
     method: Optional[sampling.SamplingMethod] = None,
     rng: Optional[jax.Array] = None,
     cache_len: Optional[int] = None,
+    cache_quant: Optional[str] = None,
 ) -> jax.Array:
     """Generate ``max_new_tokens`` tokens. Returns [B, S + T] token ids."""
     if method is None:
@@ -81,7 +84,7 @@ def generate(
     assert S + max_new_tokens <= cache_len, "cache too small for requested generation"
     return _generate_impl(params, spec, input_ids, rng, impl=impl,
                           max_new_tokens=max_new_tokens, cache_len=cache_len,
-                          method=method)
+                          method=method, cache_quant=cache_quant)
 
 
 def greedy_generate(params, spec, input_ids, *, max_new_tokens=16,

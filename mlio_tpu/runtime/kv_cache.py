@@ -30,14 +30,29 @@ def init_cache(
     batch_size: int,
     max_seq_len: Optional[int] = None,
     dtype=jnp.bfloat16,
+    quant: Optional[str] = None,
 ) -> Dict[str, jax.Array]:
     """Allocate a contiguous cache pytree.
 
     Layout [L, B, S_max, H_kv, D] — layer-major so lax.scan over layers peels
     the leading axis, head_dim last for TPU lane alignment.
+
+    ``quant="int8"`` allocates int8 K/V plus per-(token, head) fp32 scales
+    [L, B, S_max, H_kv]; the flash kernel dequantizes in its inner loop
+    (the INT8 KV-cache capability, BASELINE.md).
     """
     S = max_seq_len or spec.max_seq_len
     shape = (spec.num_layers, batch_size, S, spec.num_kv_heads, spec.head_size)
+    if quant == "int8":
+        sshape = shape[:-1]
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.ones(sshape, jnp.float32),
+            "v_scale": jnp.ones(sshape, jnp.float32),
+            "pos": jnp.int32(0),
+        }
+    assert quant in (None, "none"), f"unsupported cache quant {quant}"
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
