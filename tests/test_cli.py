@@ -1,0 +1,50 @@
+"""CLI end-to-end tests — the wiring the reference shipped broken
+(SURVEY.md §2.9: the reference CLI cannot run)."""
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+import main as cli
+
+
+def test_summary(capsys, tmp_path):
+    rc = cli.main(["--model", "gpt2-tiny", "--dtype", "fp32", "--summary",
+                   "--kernels", "dense", "--output-dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "gpt2-tiny" in out and "params" in out
+    assert (tmp_path / "used_config.yaml").exists()
+
+
+def test_generate(capsys, tmp_path):
+    rc = cli.main(["--model", "llama-tiny", "--dtype", "fp32",
+                   "--kernels", "dense", "--generate", "1 2 3",
+                   "--max-new-tokens", "4", "--output-dir", str(tmp_path)])
+    assert rc == 0
+    assert "generated:" in capsys.readouterr().out
+
+
+def test_generate_quantized(capsys, tmp_path):
+    rc = cli.main(["--model", "llama-tiny", "--dtype", "fp32",
+                   "--kernels", "dense", "--quantize", "int8",
+                   "--kv-quant", "int8", "--generate", "1 2 3",
+                   "--max-new-tokens", "2", "--output-dir", str(tmp_path)])
+    assert rc == 0
+
+
+def test_profile_and_benchmark(capsys, tmp_path):
+    rc = cli.main(["--model", "gpt2-tiny", "--dtype", "fp32",
+                   "--kernels", "dense", "--profile", "--benchmark",
+                   "--batch-sizes", "1", "--seq-lens", "16",
+                   "--output-dir", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Bottleneck report" in out
+    assert "Benchmark report" in out
+    assert (tmp_path / "profile.json").exists()
+    assert (tmp_path / "report.md").exists()
+    prof = json.loads((tmp_path / "profile.json").read_text())
+    assert "recommendations" in prof and "bottlenecks" in prof

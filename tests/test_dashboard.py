@@ -1,0 +1,112 @@
+"""Dashboard tests: REST API end-to-end over a live server, recommender
+rules, visualization specs (parity: reference dashboard/app.py REST surface
+:80-316)."""
+import json
+import urllib.request
+
+import pytest
+
+from mlio_tpu.dashboard import (
+    Dashboard,
+    create_dashboard,
+    generate_optimization_recommendations,
+    visualizations as viz,
+)
+from mlio_tpu.profiling.bottleneck import BottleneckAnalyzer, BottleneckType
+
+
+@pytest.fixture()
+def dash(tmp_path):
+    d = create_dashboard(results_dir=str(tmp_path), host="127.0.0.1", port=0)
+    d.register_result("run_a", {"results": [
+        {"variant": "baseline", "batch": 1, "seq_len": 16, "mean_ms": 10.0,
+         "tokens_per_sec": 1600.0},
+        {"variant": "flash", "batch": 1, "seq_len": 16, "mean_ms": 5.0,
+         "tokens_per_sec": 3200.0, "speedup": 2.0},
+    ]})
+    d.register_result("run_b", {"results": [
+        {"variant": "baseline", "batch": 1, "seq_len": 16, "mean_ms": 8.0},
+    ]})
+    return d
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return json.loads(r.read())
+
+
+def test_rest_api_end_to_end(dash):
+    dash.run_server(blocking=False)
+    port = dash._server.server_address[1]
+    try:
+        assert _get(port, "/api/models") == ["run_a", "run_b"]
+        prof = _get(port, "/api/profile/run_a")
+        assert len(prof["results"]) == 2
+        cmp_ = _get(port, "/api/compare?ids=run_a,run_b")
+        assert cmp_["run_a"]["best_mean_ms"] == 5.0
+        assert "speedup_vs_first" in cmp_["run_b"]
+        recs = _get(port, "/api/recommendations/run_a")
+        assert isinstance(recs, list)
+        # upload round-trip
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/upload",
+            data=json.dumps({"name": "run_c", "results": []}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["ok"]
+        assert "run_c" in _get(port, "/api/models")
+        # static UI served
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert b"mlio_tpu" in r.read()
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/static/dashboard.js") as r:
+            assert b"barChart" in r.read()
+    finally:
+        dash.shutdown()
+
+
+def test_results_persist_and_reload(tmp_path):
+    d1 = Dashboard(results_dir=str(tmp_path))
+    d1.register_result("x", {"results": [{"mean_ms": 1.0}]})
+    d2 = Dashboard(results_dir=str(tmp_path))
+    assert d2.get_result("x")["results"][0]["mean_ms"] == 1.0
+
+
+def test_recommender_rules():
+    ana = BottleneckAnalyzer()
+    rep = ana.analyze(wall_time_s=1e-3, flops=1e9, bytes_accessed=6e8)
+    recs = generate_optimization_recommendations(
+        rep, {"attention": "dense", "seq_len": 32768, "hbm_fraction": 0.9})
+    cats = {r.category for r in recs}
+    assert "memory" in cats and "kernel" in cats
+    titles = " ".join(r.title for r in recs)
+    assert "INT8" in titles
+    assert "flash" in titles.lower() or "ring" in titles.lower()
+    # sorted by priority
+    assert all(recs[i].priority <= recs[i + 1].priority
+               for i in range(len(recs) - 1))
+
+
+def test_visualization_builders():
+    specs = [
+        viz.create_timeline_visualization([1.0, 2.0]),
+        viz.create_op_breakdown({"a": 1.0, "b": 2.0}),
+        viz.create_memory_visualization(
+            [{"t": 0, "bytes_in_use": 1e9, "peak_bytes_in_use": 2e9}]),
+        viz.create_kernel_efficiency_chart({"flash": 0.4}),
+        viz.create_parallel_scaling_chart([1, 2, 4], [100, 190, 360]),
+        viz.create_comparative_timeline({"a": [0.1], "b": [0.2]}),
+        viz.create_speedup_comparison({"flash": 2.0}),
+        viz.create_memory_comparison({"fp32": 4e9, "int8": 1e9}),
+        viz.create_op_explorer([{"op": "matmul", "ms": 1.0}]),
+        viz.create_bottleneck_visualization(
+            {"bottlenecks": [{"kind": "memory", "severity": 0.8,
+                              "detail": "x"}]}),
+        viz.create_parameter_sensitivity("batch", [1, 2], [10, 19]),
+        viz.create_optimization_impact(
+            {"flash": {"throughput": 2.3, "latency": 1.8}}),
+    ]
+    for s in specs:
+        json.dumps(s)  # all must be JSON-serializable
+        assert s["type"] in ("line", "bar", "table", "grouped_bar")
+    assert len(specs) == 12
