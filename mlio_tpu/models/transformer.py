@@ -218,6 +218,14 @@ def forward(
 
     quant_cache = cache is not None and "k_scale" in cache
 
+    # Dedicated decode path: S == 1 with an optimized-attention Impl routes
+    # through _decode_forward, which keeps the cache in the scan CARRY
+    # (in-place while-loop aliasing — no per-layer cache copies) and reads
+    # only the valid prefix via the paged kernel over a contiguous view.
+    if (cache is not None and S == 1 and impl.attention != "dense"
+            and not return_hidden):
+        return _decode_forward(params, spec, x, cache, impl, cos, sin)
+
     def block_fn(x, layer_inputs):
         bp, cache_k, cache_v, cache_ks, cache_vs = layer_inputs
         # --- attention sublayer ---
@@ -311,4 +319,119 @@ def forward(
     if spec.logits_softcap is not None:
         cap = spec.logits_softcap
         logits = cap * jnp.tanh(logits / cap)
+    return logits, new_cache
+
+
+def _decode_block_size(smax: int) -> int:
+    for bs in (64, 32, 16, 8):
+        if smax % bs == 0:
+            return bs
+    return 1
+
+
+def _decode_forward(params, spec, x, cache, impl, cos, sin):
+    """Single-token decode with carry-held cache + paged-view attention.
+
+    Two decode-critical properties (SURVEY.md §7 hard parts):
+      * The full [L, B, Smax, Hkv, D] cache rides the layer-scan CARRY, so
+        XLA aliases the buffer across iterations (one in-place token write
+        per layer instead of a 2x-cache copy through scan ys).
+      * Attention reads through the paged kernel over a contiguous-cache
+        VIEW ([L, B*Smax/bs, bs, Hkv, D] + an identity block table), whose
+        index maps clamp beyond-context steps — only the VALID prefix
+        crosses HBM, not the whole preallocated cache.
+    """
+    B = x.shape[0]
+    cache_pos = cache["pos"]
+    quant = "k_scale" in cache
+    L, _, Smax, Hkv, D = cache["k"].shape
+    bs = _decode_block_size(Smax)
+    nb = Smax // bs
+    ctx = jnp.full((B,), cache_pos + 1, jnp.int32)
+    tables = (jnp.arange(B, dtype=jnp.int32)[:, None] * nb
+              + jnp.arange(nb, dtype=jnp.int32)[None, :])  # identity view
+    interp = (impl.interpret if impl.interpret is not None
+              else jax.default_backend() != "tpu")
+
+    from mlio_tpu.ops.paged_attention import paged_attention
+
+    def block_fn(carry, inputs):
+        x, ck, cv, cks, cvs = carry
+        bp, layer = inputs
+        h_norm = ops.norm(x, bp["ln1_scale"], bp["ln1_bias"], kind=spec.norm,
+                          eps=spec.norm_eps, impl=impl)
+        if impl.fused_ln_qkv:
+            q, k, v = ops.fused_ln_qkv(
+                x, bp["ln1_scale"], bp["ln1_bias"],
+                bp["wq"], bp["bq"], bp["wk"], bp["bk"], bp["wv"], bp["bv"],
+                kind=spec.norm, eps=spec.norm_eps, impl=impl)
+        else:
+            q = ops.linear(h_norm, bp["wq"], bp["bq"], impl=impl)
+            k = ops.linear(h_norm, bp["wk"], bp["bk"], impl=impl)
+            v = ops.linear(h_norm, bp["wv"], bp["bv"], impl=impl)
+        q = _split_heads(q, spec.num_heads)
+        k = _split_heads(k, spec.num_kv_heads)
+        v = _split_heads(v, spec.num_kv_heads)
+        if cos is not None:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+        if quant:
+            from mlio_tpu.ops.quant import quantize_kv
+
+            kq, ksc = quantize_kv(k)
+            vq, vsc = quantize_kv(v)
+            ck = jax.lax.dynamic_update_slice(
+                ck, kq[None], (layer, 0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, vq[None], (layer, 0, cache_pos, 0, 0))
+            cks = jax.lax.dynamic_update_slice(
+                cks, ksc[None], (layer, 0, cache_pos, 0))
+            cvs = jax.lax.dynamic_update_slice(
+                cvs, vsc[None], (layer, 0, cache_pos, 0))
+            attn = paged_attention(
+                q[:, 0], ck.reshape(L, B * nb, bs, Hkv, D),
+                cv.reshape(L, B * nb, bs, Hkv, D), tables, ctx, layer=layer,
+                k_scale_pool=cks.reshape(L, B * nb, bs, Hkv),
+                v_scale_pool=cvs.reshape(L, B * nb, bs, Hkv),
+                interpret=interp)
+        else:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype)[None], (layer, 0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype)[None], (layer, 0, cache_pos, 0, 0))
+            attn = paged_attention(
+                q[:, 0], ck.reshape(L, B * nb, bs, Hkv, D),
+                cv.reshape(L, B * nb, bs, Hkv, D), tables, ctx, layer=layer,
+                interpret=interp)
+
+        attn = attn.reshape(B, 1, spec.q_dim).astype(x.dtype)
+        x = x + ops.linear(attn, bp["wo"], bp["bo"], impl=impl)
+        h_norm = ops.norm(x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
+                          eps=spec.norm_eps, impl=impl)
+        x = x + ops.mlp(h_norm, bp["w_up"], bp["w_down"],
+                        b_up=bp["b_up"], b_down=bp["b_down"],
+                        w_gate=bp["w_gate"], b_gate=bp["b_gate"],
+                        activation=spec.activation, impl=impl)
+        return (x, ck, cv, cks, cvs), None
+
+    carry0 = (x, cache["k"], cache["v"],
+              cache.get("k_scale") if quant else jnp.zeros((), x.dtype),
+              cache.get("v_scale") if quant else jnp.zeros((), x.dtype))
+    (x, ck, cv, cks, cvs), _ = jax.lax.scan(
+        block_fn, carry0, (params["blocks"], jnp.arange(spec.num_layers)))
+
+    x = ops.norm(x, params["final_scale"], params["final_bias"],
+                 kind=spec.norm, eps=spec.norm_eps, impl=impl)
+    if params["lm_head"] is not None:
+        logits = ops.linear(x, params["lm_head"], impl=impl)
+    else:
+        logits = x @ params["tok_embed"].T.astype(x.dtype)
+    if spec.logits_softcap is not None:
+        logits = spec.logits_softcap * jnp.tanh(logits / spec.logits_softcap)
+
+    new_cache = {"k": ck, "v": cv, "pos": cache_pos + 1}
+    if quant:
+        new_cache["k_scale"] = cks
+        new_cache["v_scale"] = cvs
     return logits, new_cache

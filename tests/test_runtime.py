@@ -117,3 +117,26 @@ def test_sampling_greedy_and_topk():
         tok = sample(logits, jax.random.PRNGKey(seed),
                      SamplingMethod(temperature=1.0, top_p=0.01))
         assert int(tok[0]) == 1
+
+
+def test_optimized_decode_path_matches_dense(model):
+    """The S==1 carry-cache + paged-view decode path (Impl flash) must match
+    the generic dense cached decode."""
+    spec, params = model
+    ids = jax.random.randint(jax.random.PRNGKey(5), (2, 10), 0, spec.vocab_size)
+    fast = Impl(attention="flash")
+
+    cache_a = init_cache(spec, 2, 32, dtype=jnp.float32)
+    cache_b = init_cache(spec, 2, 32, dtype=jnp.float32)
+    la, cache_a = forward(params, spec, ids[:, :6], cache=cache_a)
+    lb, cache_b = forward(params, spec, ids[:, :6], cache=cache_b, impl=fast)
+    for t in range(6, 10):
+        sa, cache_a = forward(params, spec, ids[:, t:t+1], cache=cache_a)
+        sb, cache_b = forward(params, spec, ids[:, t:t+1], cache=cache_b,
+                              impl=fast)
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                   rtol=2e-3, atol=2e-3)
+    # caches agree on the valid prefix
+    np.testing.assert_allclose(np.asarray(cache_a["k"][:, :, :10]),
+                               np.asarray(cache_b["k"][:, :, :10]),
+                               rtol=1e-4, atol=1e-4)
