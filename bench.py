@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 BATCH = 8
 PROMPT = 8
-NEW_TOKENS = 128
+NEW_TOKENS = 256
 CACHE_LEN = 1024
 HBM_GBPS = 819.0  # v5e HBM bandwidth
 

@@ -323,8 +323,12 @@ def forward(
 
 
 def _decode_block_size(smax: int) -> int:
-    for bs in (64, 32, 16, 8):
-        if smax % bs == 0:
+    """Pick the contiguous-view block size: every grid step costs ~1us of
+    sequential overhead even when its DMA/compute is clamped away, so target
+    few, large blocks (~8) rather than fine paging granularity."""
+    target = max(64, smax // 8)
+    for bs in (target, 256, 128, 64, 32, 16, 8):
+        if bs <= smax and smax % bs == 0:
             return bs
     return 1
 
