@@ -27,9 +27,10 @@ def main():
 
     backend = jax.default_backend()
     spec, params = load_model("gpt2", dtype=jnp.bfloat16)
-    # flash attention dominates decode; fused MLP/norm help prefill but are
-    # neutral-to-negative at M=8 decode, so the headline uses flash only.
-    impl = Impl(attention="flash") if backend == "tpu" else Impl()
+    # flash attention (batched decode kernel) dominates; fused norms shave
+    # ~4% more; fused MLP is negative at M=8 decode so it stays off here.
+    impl = (Impl(attention="flash", norm="fused") if backend == "tpu"
+            else Impl())
 
     ids = jnp.zeros((BATCH, PROMPT), jnp.int32)
 

@@ -322,42 +322,27 @@ def forward(
     return logits, new_cache
 
 
-def _decode_block_size(smax: int) -> int:
-    """Pick the contiguous-view block size: every grid step costs ~1us of
-    sequential overhead even when its DMA/compute is clamped away, so target
-    few, large blocks (~8) rather than fine paging granularity."""
-    target = max(64, smax // 8)
-    for bs in (target, 256, 128, 64, 32, 16, 8):
-        if bs <= smax and smax % bs == 0:
-            return bs
-    return 1
-
-
 def _decode_forward(params, spec, x, cache, impl, cos, sin):
-    """Single-token decode with carry-held cache + paged-view attention.
+    """Single-token decode with carry-held cache + batched decode attention.
 
     Two decode-critical properties (SURVEY.md §7 hard parts):
       * The full [L, B, Smax, Hkv, D] cache rides the layer-scan CARRY, so
         XLA aliases the buffer across iterations (one in-place token write
         per layer instead of a 2x-cache copy through scan ys).
-      * Attention reads through the paged kernel over a contiguous-cache
-        VIEW ([L, B*Smax/bs, bs, Hkv, D] + an identity block table), whose
-        index maps clamp beyond-context steps — only the VALID prefix
-        crosses HBM, not the whole preallocated cache.
+      * Attention reads via ops.decode_attention, which DMAs each time-slice
+        for the WHOLE batch tile in one grid step and clamps beyond-context
+        steps — only the VALID prefix crosses HBM, in ~8 large DMAs per
+        layer rather than (B × blocks) small ones.
     """
     B = x.shape[0]
     cache_pos = cache["pos"]
     quant = "k_scale" in cache
     L, _, Smax, Hkv, D = cache["k"].shape
-    bs = _decode_block_size(Smax)
-    nb = Smax // bs
     ctx = jnp.full((B,), cache_pos + 1, jnp.int32)
-    tables = (jnp.arange(B, dtype=jnp.int32)[:, None] * nb
-              + jnp.arange(nb, dtype=jnp.int32)[None, :])  # identity view
     interp = (impl.interpret if impl.interpret is not None
               else jax.default_backend() != "tpu")
 
-    from mlio_tpu.ops.paged_attention import paged_attention
+    from mlio_tpu.ops.decode_attention import decode_attention
 
     def block_fn(carry, inputs):
         x, ck, cv, cks, cvs = carry
@@ -393,21 +378,16 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
                 cks, ksc[None], (layer, 0, cache_pos, 0))
             cvs = jax.lax.dynamic_update_slice(
                 cvs, vsc[None], (layer, 0, cache_pos, 0))
-            attn = paged_attention(
-                q[:, 0], ck.reshape(L, B * nb, bs, Hkv, D),
-                cv.reshape(L, B * nb, bs, Hkv, D), tables, ctx, layer=layer,
-                k_scale_pool=cks.reshape(L, B * nb, bs, Hkv),
-                v_scale_pool=cvs.reshape(L, B * nb, bs, Hkv),
-                interpret=interp)
+            attn = decode_attention(
+                q[:, 0], ck, cv, ctx, layer=layer,
+                k_scales=cks, v_scales=cvs, interpret=interp)
         else:
             ck = jax.lax.dynamic_update_slice(
                 ck, k.astype(ck.dtype)[None], (layer, 0, cache_pos, 0, 0))
             cv = jax.lax.dynamic_update_slice(
                 cv, v.astype(cv.dtype)[None], (layer, 0, cache_pos, 0, 0))
-            attn = paged_attention(
-                q[:, 0], ck.reshape(L, B * nb, bs, Hkv, D),
-                cv.reshape(L, B * nb, bs, Hkv, D), tables, ctx, layer=layer,
-                interpret=interp)
+            attn = decode_attention(q[:, 0], ck, cv, ctx, layer=layer,
+                                    interpret=interp)
 
         attn = attn.reshape(B, 1, spec.q_dim).astype(x.dtype)
         x = x + ops.linear(attn, bp["wo"], bp["bo"], impl=impl)

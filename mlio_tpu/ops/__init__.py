@@ -33,11 +33,14 @@ def _use_interpret(impl) -> bool:
 
 
 def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
-              bias=None, k_scale=None, v_scale=None, impl=None):
+              bias=None, k_scale=None, v_scale=None, impl=None,
+              kv_layout="bshd"):
     """Multi-head attention dispatcher. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D].
 
     ``k_scale``/``v_scale`` [B,Skv,Hkv] mark an INT8-quantized KV cache;
     the flash kernel fuses the dequant, the dense path dequantizes upfront.
+    ``kv_layout="bhsd"``: k/v (and scales) arrive pre-transposed as
+    [B,Hkv,Skv,D] / [B,Hkv,Skv] — the contiguous decode-cache layout.
     """
     kind = impl.attention if impl is not None else "dense"
     if kind == "flash":
@@ -46,7 +49,13 @@ def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
             q, k, v, causal=causal, scale=scale, q_offset=q_offset,
             kv_len=kv_len, k_scale=k_scale, v_scale=v_scale,
             block_q=impl.block_q, block_kv=impl.block_kv,
-            interpret=_use_interpret(impl))
+            interpret=_use_interpret(impl), kv_layout=kv_layout)
+    if kv_layout == "bhsd":  # non-flash paths take [B,Skv,Hkv,D]
+        k = k.swapaxes(1, 2)
+        v = v.swapaxes(1, 2)
+        if k_scale is not None:
+            k_scale = k_scale.swapaxes(1, 2)
+            v_scale = v_scale.swapaxes(1, 2)
     if kind == "ring":
         from mlio_tpu.ops import ring_attention as ra
         if k_scale is not None:
@@ -130,8 +139,16 @@ def fused_ln_qkv(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, *,
                             interpret=_use_interpret(impl))
 
 
+def flash_attention_vjp(*args, **kwargs):
+    """Differentiable flash attention (Pallas fwd+bwd kernels); see
+    ops/flash_attention_grad.py. Lazy import keeps cold-start light."""
+    from mlio_tpu.ops.flash_attention_grad import flash_attention_vjp as f
+    return f(*args, **kwargs)
+
+
 __all__ = [
     "attention",
+    "flash_attention_vjp",
     "linear",
     "mlp",
     "norm",

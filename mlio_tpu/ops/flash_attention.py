@@ -182,7 +182,8 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret",
+                     "kv_layout"),
 )
 def flash_attention(
     q: jax.Array,
@@ -198,17 +199,24 @@ def flash_attention(
     block_q: int = 256,
     block_kv: int = 512,
     interpret: bool = False,
+    kv_layout: str = "bshd",
 ) -> jax.Array:
     """Flash attention. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D] → [B,Sq,Hq,D].
 
     ``q_offset``: absolute position of q[:, 0] (decode with a cache).
     ``kv_len``: scalar or [B]; cache slots >= kv_len are masked out.
+    ``kv_layout="bhsd"``: k/v arrive pre-transposed as [B,Hkv,Skv,D] (the
+    contiguous decode-cache layout) with scales [B,Hkv,Skv] — skips the
+    relayout the kernel would otherwise do per call.
     Wrapper parity: triton_flash_attention
     flash_attention_kernels.py:1150-1315 (shape checks, block heuristics,
     mask canonicalization).
     """
     B, Sq, Hq, D = q.shape
-    _, Skv, Hkv, _ = k.shape
+    if kv_layout == "bhsd":
+        _, Hkv, Skv, _ = k.shape
+    else:
+        _, Skv, Hkv, _ = k.shape
     assert Hq % Hkv == 0, "query heads must be a multiple of KV heads"
     group = Hq // Hkv
     if scale is None:
@@ -225,8 +233,11 @@ def flash_attention(
 
     # [B, H, S, D] layout for per-(batch, head) tiling.
     qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
+    if kv_layout == "bhsd":
+        kt, vt = k, v
+    else:
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
 
     sq_pad = _round_up(Sq, bq)
     skv_pad = _round_up(Skv, bkv)
@@ -259,8 +270,12 @@ def flash_attention(
 
     if kv_quant:
         # scales [B, Skv, Hkv] -> [B, Hkv, Skv], padded with ones
-        ksc = k_scale.transpose(0, 2, 1).astype(jnp.float32)
-        vsc = v_scale.transpose(0, 2, 1).astype(jnp.float32)
+        if kv_layout == "bhsd":
+            ksc = k_scale.astype(jnp.float32)
+            vsc = v_scale.astype(jnp.float32)
+        else:
+            ksc = k_scale.transpose(0, 2, 1).astype(jnp.float32)
+            vsc = v_scale.transpose(0, 2, 1).astype(jnp.float32)
         if skv_pad != Skv:
             ksc = jnp.pad(ksc, ((0, 0), (0, 0), (0, skv_pad - Skv)),
                           constant_values=1.0)
