@@ -79,7 +79,7 @@ def spec_from_hf_config(cfg: Any, name: str = "custom") -> ModelSpec:
             activation="gelu_new", norm="layernorm",
             norm_eps=get("layer_norm_epsilon", 1e-5),
             positional="learned", tie_embeddings=True)
-    if model_type in ("llama", "mistral"):
+    if model_type in ("llama", "mistral", "qwen2"):
         heads = get("num_attention_heads")
         return ModelSpec(
             name=name, vocab_size=get("vocab_size"),
@@ -90,8 +90,66 @@ def spec_from_hf_config(cfg: Any, name: str = "custom") -> ModelSpec:
             activation="swiglu", norm="rmsnorm",
             norm_eps=get("rms_norm_eps", 1e-5), positional="rope",
             rope_theta=get("rope_theta", 10000.0),
-            use_qkv_bias=False, use_mlp_bias=False, use_out_bias=False,
+            # Qwen2 carries biases on Q/K/V only
+            use_qkv_bias=(model_type == "qwen2"),
+            use_mlp_bias=False, use_out_bias=False,
             tie_embeddings=bool(get("tie_word_embeddings", False)))
+    if model_type == "gemma":
+        heads = get("num_attention_heads")
+        h = get("hidden_size")
+        return ModelSpec(
+            name=name, vocab_size=get("vocab_size"), hidden_size=h,
+            num_layers=get("num_hidden_layers"), num_heads=heads,
+            num_kv_heads=get("num_key_value_heads") or heads,
+            intermediate_size=get("intermediate_size"),
+            max_seq_len=get("max_position_embeddings", 8192),
+            head_dim=get("head_dim"),
+            activation="geglu", norm="rmsnorm",
+            norm_eps=get("rms_norm_eps", 1e-6), positional="rope",
+            rope_theta=get("rope_theta", 10000.0),
+            use_qkv_bias=False, use_mlp_bias=False, use_out_bias=False,
+            tie_embeddings=True, embed_scale=float(h) ** 0.5)
+    if model_type == "gpt_neox":
+        heads = get("num_attention_heads")
+        return ModelSpec(
+            name=name, vocab_size=get("vocab_size"),
+            hidden_size=get("hidden_size"), num_layers=get("num_hidden_layers"),
+            num_heads=heads, num_kv_heads=heads,
+            intermediate_size=get("intermediate_size"),
+            max_seq_len=get("max_position_embeddings", 2048),
+            activation="gelu", norm="layernorm",
+            norm_eps=get("layer_norm_eps", 1e-5), positional="rope",
+            rope_theta=get("rotary_emb_base", 10000.0),
+            rope_fraction=get("rotary_pct", 0.25),
+            use_qkv_bias=True, use_mlp_bias=True, use_out_bias=True,
+            tie_embeddings=bool(get("tie_word_embeddings", False)),
+            parallel_residual=bool(get("use_parallel_residual", True)))
+    if model_type == "phi":
+        heads = get("num_attention_heads")
+        return ModelSpec(
+            name=name, vocab_size=get("vocab_size"),
+            hidden_size=get("hidden_size"), num_layers=get("num_hidden_layers"),
+            num_heads=heads, num_kv_heads=get("num_key_value_heads") or heads,
+            intermediate_size=get("intermediate_size"),
+            max_seq_len=get("max_position_embeddings", 2048),
+            activation="gelu_new", norm="layernorm",
+            norm_eps=get("layer_norm_eps", 1e-5), positional="rope",
+            rope_theta=get("rope_theta", 10000.0),
+            rope_fraction=get("partial_rotary_factor", 0.5),
+            use_qkv_bias=True, use_mlp_bias=True, use_out_bias=True,
+            tie_embeddings=False, use_head_bias=True,
+            parallel_residual=True, shared_ln=True)
+    if model_type == "opt":
+        h = get("hidden_size")
+        return ModelSpec(
+            name=name, vocab_size=get("vocab_size"), hidden_size=h,
+            num_layers=get("num_hidden_layers"),
+            num_heads=get("num_attention_heads"),
+            num_kv_heads=get("num_attention_heads"),
+            intermediate_size=get("ffn_dim", 4 * h),
+            max_seq_len=get("max_position_embeddings", 2048),
+            activation="relu", norm="layernorm", norm_eps=1e-5,
+            positional="learned", tie_embeddings=True)
     raise ValueError(f"unsupported HF model_type '{model_type}'")
 
 
@@ -159,9 +217,12 @@ def convert_gpt2(sd: StateDict, spec: ModelSpec, dtype=jnp.float32) -> Dict[str,
     }
 
 
-def convert_llama(sd: StateDict, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
-    """Llama/Mistral state dict → pytree. torch Linear stores [out, in]; we
-    transpose to [in, out] once here so the forward is a plain x @ W."""
+def convert_llama(sd: StateDict, spec: ModelSpec, dtype=jnp.float32,
+                  norm_offset: float = 0.0) -> Dict[str, Any]:
+    """Llama/Mistral/Qwen2/Gemma state dict → pytree. torch Linear stores
+    [out, in]; we transpose to [in, out] once here so the forward is a plain
+    x @ W. Optional Q/K/V biases (Qwen2) are picked up when present;
+    ``norm_offset=1`` folds Gemma's (1 + w) RMSNorm weights at conversion."""
     prefix = "model." if any(k.startswith("model.") for k in sd) else ""
     L = spec.num_layers
 
@@ -174,18 +235,26 @@ def convert_llama(sd: StateDict, spec: ModelSpec, dtype=jnp.float32) -> Dict[str
     def lin(fmt):
         return J(np.stack([g(fmt.format(i)).T for i in range(L)]))
 
+    def bias(fmt):
+        if prefix + fmt.format(0) not in sd:
+            return None
+        return J(np.stack([g(fmt.format(i)) for i in range(L)]))
+
+    def ln(fmt):
+        return J(np.stack([g(fmt.format(i)) for i in range(L)]) + norm_offset)
+
     blocks = {
-        "ln1_scale": J(np.stack([g(f"layers.{i}.input_layernorm.weight") for i in range(L)])),
+        "ln1_scale": ln("layers.{}.input_layernorm.weight"),
         "ln1_bias": None,
         "wq": lin("layers.{}.self_attn.q_proj.weight"),
-        "bq": None,
+        "bq": bias("layers.{}.self_attn.q_proj.bias"),
         "wk": lin("layers.{}.self_attn.k_proj.weight"),
-        "bk": None,
+        "bk": bias("layers.{}.self_attn.k_proj.bias"),
         "wv": lin("layers.{}.self_attn.v_proj.weight"),
-        "bv": None,
+        "bv": bias("layers.{}.self_attn.v_proj.bias"),
         "wo": lin("layers.{}.self_attn.o_proj.weight"),
         "bo": None,
-        "ln2_scale": J(np.stack([g(f"layers.{i}.post_attention_layernorm.weight") for i in range(L)])),
+        "ln2_scale": ln("layers.{}.post_attention_layernorm.weight"),
         "ln2_bias": None,
         "w_up": lin("layers.{}.mlp.up_proj.weight"),
         "b_up": None,
@@ -202,9 +271,173 @@ def convert_llama(sd: StateDict, spec: ModelSpec, dtype=jnp.float32) -> Dict[str
         "tok_embed": J(g("embed_tokens.weight")),
         "pos_embed": None,
         "blocks": blocks,
-        "final_scale": J(g("norm.weight")),
+        "final_scale": J(g("norm.weight") + norm_offset),
         "final_bias": None,
         "lm_head": lm_head,
+    }
+
+
+def convert_gemma(sd: StateDict, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
+    """Gemma = Llama layout + (1 + w) RMSNorm (folded here) + GeGLU +
+    sqrt(hidden) embedding scale (a spec knob, not a weight transform)."""
+    return convert_llama(sd, spec, dtype=dtype, norm_offset=1.0)
+
+
+def convert_gpt_neox(sd: StateDict, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
+    """GPT-NeoX/Pythia state dict → pytree: per-head-packed fused QKV
+    ([heads, (q|k|v), head_dim] row order) is unpacked here; parallel
+    residual and partial rotary are spec knobs."""
+    prefix = "gpt_neox." if any(k.startswith("gpt_neox.") for k in sd) else ""
+    L, H = spec.num_layers, spec.hidden_size
+    heads, hd = spec.num_heads, spec.head_size
+
+    def g(key):
+        return np.asarray(sd[prefix + key])
+
+    def J(x):
+        return jnp.asarray(x, dtype=dtype)
+
+    def lin(fmt):
+        return J(np.stack([g(fmt.format(i)).T for i in range(L)]))
+
+    def vec(fmt):
+        return J(np.stack([g(fmt.format(i)) for i in range(L)]))
+
+    wq, wk, wv, bq, bk, bv = [], [], [], [], [], []
+    for i in range(L):
+        w = g(f"layers.{i}.attention.query_key_value.weight")  # [3H, H]
+        b = g(f"layers.{i}.attention.query_key_value.bias")    # [3H]
+        w = w.reshape(heads, 3, hd, H)
+        b = b.reshape(heads, 3, hd)
+        wq.append(w[:, 0].reshape(heads * hd, H).T)
+        wk.append(w[:, 1].reshape(heads * hd, H).T)
+        wv.append(w[:, 2].reshape(heads * hd, H).T)
+        bq.append(b[:, 0].reshape(-1))
+        bk.append(b[:, 1].reshape(-1))
+        bv.append(b[:, 2].reshape(-1))
+
+    blocks = {
+        "ln1_scale": vec("layers.{}.input_layernorm.weight"),
+        "ln1_bias": vec("layers.{}.input_layernorm.bias"),
+        "wq": J(np.stack(wq)), "bq": J(np.stack(bq)),
+        "wk": J(np.stack(wk)), "bk": J(np.stack(bk)),
+        "wv": J(np.stack(wv)), "bv": J(np.stack(bv)),
+        "wo": lin("layers.{}.attention.dense.weight"),
+        "bo": vec("layers.{}.attention.dense.bias"),
+        "ln2_scale": vec("layers.{}.post_attention_layernorm.weight"),
+        "ln2_bias": vec("layers.{}.post_attention_layernorm.bias"),
+        "w_up": lin("layers.{}.mlp.dense_h_to_4h.weight"),
+        "b_up": vec("layers.{}.mlp.dense_h_to_4h.bias"),
+        "w_gate": None, "b_gate": None,
+        "w_down": lin("layers.{}.mlp.dense_4h_to_h.weight"),
+        "b_down": vec("layers.{}.mlp.dense_4h_to_h.bias"),
+    }
+    return {
+        "tok_embed": J(g("embed_in.weight")),
+        "pos_embed": None,
+        "blocks": blocks,
+        "final_scale": J(g("final_layer_norm.weight")),
+        "final_bias": J(g("final_layer_norm.bias")),
+        "lm_head": J(np.asarray(sd["embed_out.weight"]).T),
+    }
+
+
+def convert_phi(sd: StateDict, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
+    """Phi-1/1.5/2 state dict → pytree: one shared LayerNorm feeds both
+    parallel branches (spec.shared_ln); lm_head carries a bias."""
+    prefix = "model." if any(k.startswith("model.") for k in sd) else ""
+    L = spec.num_layers
+
+    def g(key):
+        return np.asarray(sd[prefix + key])
+
+    def J(x):
+        return jnp.asarray(x, dtype=dtype)
+
+    def lin(fmt):
+        return J(np.stack([g(fmt.format(i)).T for i in range(L)]))
+
+    def vec(fmt):
+        return J(np.stack([g(fmt.format(i)) for i in range(L)]))
+
+    ln_scale = vec("layers.{}.input_layernorm.weight")
+    ln_bias = vec("layers.{}.input_layernorm.bias")
+    blocks = {
+        "ln1_scale": ln_scale, "ln1_bias": ln_bias,
+        "wq": lin("layers.{}.self_attn.q_proj.weight"),
+        "bq": vec("layers.{}.self_attn.q_proj.bias"),
+        "wk": lin("layers.{}.self_attn.k_proj.weight"),
+        "bk": vec("layers.{}.self_attn.k_proj.bias"),
+        "wv": lin("layers.{}.self_attn.v_proj.weight"),
+        "bv": vec("layers.{}.self_attn.v_proj.bias"),
+        "wo": lin("layers.{}.self_attn.dense.weight"),
+        "bo": vec("layers.{}.self_attn.dense.bias"),
+        # shared LN: ln2 slots duplicate ln1 to keep the pytree uniform
+        # (unused by the shared_ln forward path).
+        "ln2_scale": ln_scale, "ln2_bias": ln_bias,
+        "w_up": lin("layers.{}.mlp.fc1.weight"),
+        "b_up": vec("layers.{}.mlp.fc1.bias"),
+        "w_gate": None, "b_gate": None,
+        "w_down": lin("layers.{}.mlp.fc2.weight"),
+        "b_down": vec("layers.{}.mlp.fc2.bias"),
+    }
+    return {
+        "tok_embed": J(g("embed_tokens.weight")),
+        "pos_embed": None,
+        "blocks": blocks,
+        "final_scale": J(g("final_layernorm.weight")),
+        "final_bias": J(g("final_layernorm.bias")),
+        "lm_head": J(np.asarray(sd["lm_head.weight"]).T),
+        "lm_head_bias": J(np.asarray(sd["lm_head.bias"])),
+    }
+
+
+def convert_opt(sd: StateDict, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
+    """OPT state dict → pytree. The learned position table's +2 offset
+    (OPTLearnedPositionalEmbedding) is folded by dropping its first two rows.
+    Pre-LN variants only (do_layer_norm_before=True)."""
+    prefix = next((p for p in ("model.decoder.", "decoder.")
+                   if any(k.startswith(p) for k in sd)), "")
+    L = spec.num_layers
+
+    def g(key):
+        return np.asarray(sd[prefix + key])
+
+    def J(x):
+        return jnp.asarray(x, dtype=dtype)
+
+    def lin(fmt):
+        return J(np.stack([g(fmt.format(i)).T for i in range(L)]))
+
+    def vec(fmt):
+        return J(np.stack([g(fmt.format(i)) for i in range(L)]))
+
+    blocks = {
+        "ln1_scale": vec("layers.{}.self_attn_layer_norm.weight"),
+        "ln1_bias": vec("layers.{}.self_attn_layer_norm.bias"),
+        "wq": lin("layers.{}.self_attn.q_proj.weight"),
+        "bq": vec("layers.{}.self_attn.q_proj.bias"),
+        "wk": lin("layers.{}.self_attn.k_proj.weight"),
+        "bk": vec("layers.{}.self_attn.k_proj.bias"),
+        "wv": lin("layers.{}.self_attn.v_proj.weight"),
+        "bv": vec("layers.{}.self_attn.v_proj.bias"),
+        "wo": lin("layers.{}.self_attn.out_proj.weight"),
+        "bo": vec("layers.{}.self_attn.out_proj.bias"),
+        "ln2_scale": vec("layers.{}.final_layer_norm.weight"),
+        "ln2_bias": vec("layers.{}.final_layer_norm.bias"),
+        "w_up": lin("layers.{}.fc1.weight"),
+        "b_up": vec("layers.{}.fc1.bias"),
+        "w_gate": None, "b_gate": None,
+        "w_down": lin("layers.{}.fc2.weight"),
+        "b_down": vec("layers.{}.fc2.bias"),
+    }
+    return {
+        "tok_embed": J(g("embed_tokens.weight")),
+        "pos_embed": J(g("embed_positions.weight")[2:]),
+        "blocks": blocks,
+        "final_scale": J(g("final_layer_norm.weight")),
+        "final_bias": J(g("final_layer_norm.bias")),
+        "lm_head": None,  # tied
     }
 
 
@@ -232,6 +465,11 @@ model_registry = ModelRegistry()
 model_registry.register(r"gpt2.*", convert_gpt2)
 model_registry.register(r".*llama.*", convert_llama)
 model_registry.register(r".*mistral.*", convert_llama)
+model_registry.register(r".*qwen.*", convert_llama)
+model_registry.register(r".*gemma.*", convert_gemma)
+model_registry.register(r".*(neox|pythia).*", convert_gpt_neox)
+model_registry.register(r".*phi.*", convert_phi)
+model_registry.register(r".*opt.*", convert_opt)
 
 
 def load_model(

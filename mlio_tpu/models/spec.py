@@ -35,16 +35,23 @@ class ModelSpec:
     head_dim: Optional[int] = None  # default hidden_size // num_heads
 
     # Architecture knobs
-    activation: str = "gelu_new"  # "gelu_new" | "gelu" | "relu" | "swiglu"
+    activation: str = "gelu_new"  # "gelu_new"|"gelu"|"relu"|"swiglu"|"geglu"
     norm: str = "layernorm"  # "layernorm" | "rmsnorm"
     norm_eps: float = 1e-5
     positional: str = "learned"  # "learned" | "rope"
     rope_theta: float = 10000.0
+    rope_fraction: float = 1.0  # partial rotary (GPT-NeoX rotary_pct, Phi)
     use_qkv_bias: bool = True
     use_mlp_bias: bool = True
     use_out_bias: bool = True
     tie_embeddings: bool = True
     logits_softcap: Optional[float] = None
+    # Parallel residual: x + attn(ln1(x)) + mlp(ln2(x)) (GPT-NeoX family);
+    # shared_ln additionally feeds BOTH branches from ln1 (Phi family).
+    parallel_residual: bool = False
+    shared_ln: bool = False
+    embed_scale: Optional[float] = None  # Gemma: sqrt(hidden_size)
+    use_head_bias: bool = False  # Phi: lm_head carries a bias
 
     @property
     def head_size(self) -> int:
@@ -63,6 +70,11 @@ class ModelSpec:
         """Query heads per KV head (GQA group)."""
         return self.num_heads // self.num_kv_heads
 
+    @property
+    def rope_dim(self) -> int:
+        """Rotated prefix of each head (even; == head_size when fraction=1)."""
+        return int(self.head_size * self.rope_fraction) // 2 * 2
+
     def validate(self) -> None:
         assert self.num_heads % self.num_kv_heads == 0, "heads must divide evenly into KV groups"
         if self.head_dim is None:
@@ -72,7 +84,7 @@ class ModelSpec:
         """Approximate parameter count (embeddings + blocks + head)."""
         h, i, l, v = self.hidden_size, self.intermediate_size, self.num_layers, self.vocab_size
         attn = h * self.q_dim + 2 * h * self.kv_dim + self.q_dim * h
-        mlp = (3 if self.activation == "swiglu" else 2) * h * i
+        mlp = (3 if self.activation in ("swiglu", "geglu") else 2) * h * i
         per_layer = attn + mlp + 4 * h
         embed = v * h + (self.max_seq_len * h if self.positional == "learned" else 0)
         head = 0 if self.tie_embeddings else v * h
@@ -135,12 +147,53 @@ PRESETS = {
                         max_seq=8192, rope_theta=500000.0),
     "llama3-70b": _llama("llama3-70b", 8192, 80, 64, 8, 28672, vocab=128256,
                          max_seq=8192, rope_theta=500000.0),
+    # Mistral (sliding-window unused at these context lengths)
+    "mistral-7b": _llama("mistral-7b", 4096, 32, 32, 8, 14336,
+                         max_seq=8192),
+    # Qwen2 (Llama-like + Q/K/V biases)
+    "qwen2-7b": dataclasses.replace(
+        _llama("qwen2-7b", 3584, 28, 28, 4, 18944, vocab=152064,
+               max_seq=8192, rope_theta=1000000.0),
+        use_qkv_bias=True),
+    # GPT-NeoX / Pythia (parallel residual, partial rotary)
+    "pythia-1.4b": ModelSpec(
+        name="pythia-1.4b", vocab_size=50304, hidden_size=2048,
+        num_layers=24, num_heads=16, num_kv_heads=16,
+        intermediate_size=8192, max_seq_len=2048, activation="gelu",
+        norm="layernorm", positional="rope", rope_fraction=0.25,
+        tie_embeddings=False, parallel_residual=True),
+    # Phi-2 (parallel residual with one shared LN, partial rotary, head bias)
+    "phi-2": ModelSpec(
+        name="phi-2", vocab_size=51200, hidden_size=2560, num_layers=32,
+        num_heads=32, num_kv_heads=32, intermediate_size=10240,
+        max_seq_len=2048, activation="gelu_new", norm="layernorm",
+        positional="rope", rope_fraction=0.4, tie_embeddings=False,
+        use_head_bias=True, parallel_residual=True, shared_ln=True),
+    # OPT (learned positions with folded +2 offset, ReLU MLP)
+    "opt-1.3b": ModelSpec(
+        name="opt-1.3b", vocab_size=50272, hidden_size=2048, num_layers=24,
+        num_heads=32, num_kv_heads=32, intermediate_size=8192,
+        max_seq_len=2048, activation="relu", norm="layernorm",
+        positional="learned", tie_embeddings=True),
+    # Gemma (GeGLU, (1+w) norms folded at conversion, scaled embeddings)
+    "gemma-7b": ModelSpec(
+        name="gemma-7b", vocab_size=256000, hidden_size=3072, num_layers=28,
+        num_heads=16, num_kv_heads=16, intermediate_size=24576,
+        max_seq_len=8192, head_dim=256, activation="geglu", norm="rmsnorm",
+        norm_eps=1e-6, positional="rope", use_qkv_bias=False,
+        use_mlp_bias=False, use_out_bias=False, tie_embeddings=True,
+        embed_scale=3072.0 ** 0.5),
     # Tiny variants for tests (same topology, small dims)
     "gpt2-tiny": dataclasses.replace(
         _gpt2("gpt2-tiny", 64, 2, 4), vocab_size=256, max_seq_len=128,
         intermediate_size=256),
     "llama-tiny": dataclasses.replace(
         _llama("llama-tiny", 64, 2, 4, 2, 128, vocab=256, max_seq=128)),
+    "neox-tiny": ModelSpec(
+        name="neox-tiny", vocab_size=256, hidden_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=4, intermediate_size=256, max_seq_len=128,
+        activation="gelu", norm="layernorm", positional="rope",
+        rope_fraction=0.25, tie_embeddings=False, parallel_residual=True),
 }
 
 

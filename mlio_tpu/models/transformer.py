@@ -81,8 +81,11 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
         "ln2_bias": maybe_zeros((l, h), spec.norm == "layernorm"),
         "w_up": w(keys[4], (l, h, i), h),
         "b_up": maybe_zeros((l, i), spec.use_mlp_bias),
-        "w_gate": w(keys[5], (l, h, i), h) if spec.activation == "swiglu" else None,
-        "b_gate": maybe_zeros((l, i), spec.use_mlp_bias and spec.activation == "swiglu"),
+        "w_gate": (w(keys[5], (l, h, i), h)
+                   if spec.activation in ("swiglu", "geglu") else None),
+        "b_gate": maybe_zeros(
+            (l, i),
+            spec.use_mlp_bias and spec.activation in ("swiglu", "geglu")),
         "w_down": w(keys[6], (l, i, h), i),
         "b_down": maybe_zeros((l, h), spec.use_mlp_bias),
     }
@@ -96,6 +99,8 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
         "final_scale": jnp.ones((h,), dtype),
         "final_bias": maybe_zeros((h,), spec.norm == "layernorm"),
         "lm_head": None if spec.tie_embeddings else w(keys[7], (h, spec.vocab_size), h),
+        "lm_head_bias": (jnp.zeros((spec.vocab_size,), dtype)
+                         if spec.use_head_bias else None),
     }
     return params
 
@@ -115,16 +120,25 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [B, S, H, D]; cos/sin: [B, S, D] or [S, D]."""
+    """x: [B, S, H, D]; cos/sin: [B, S, R] or [S, R] with R <= D.
+
+    R < D is partial rotary (GPT-NeoX rotary_pct / Phi
+    partial_rotary_factor): only the first R dims rotate, the tail passes
+    through."""
     if cos.ndim == 2:
         cos = cos[None]
         sin = sin[None]
     cos = cos[:, :, None, :]
     sin = sin[:, :, None, :]
-    half = x.shape[-1] // 2
-    x1, x2 = x[..., :half], x[..., half:]
+    rot_dim = cos.shape[-1]
+    xr = x[..., :rot_dim]
+    half = rot_dim // 2
+    x1, x2 = xr[..., :half], xr[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
-    return (x * cos + rotated * sin).astype(x.dtype)
+    out = (xr * cos + rotated * sin).astype(x.dtype)
+    if rot_dim == x.shape[-1]:
+        return out
+    return jnp.concatenate([out, x[..., rot_dim:]], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +148,26 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     B, S, _ = x.shape
     return x.reshape(B, S, num_heads, -1)
+
+
+def _residual_tail(x, attn_out, h_norm1, bp, spec, impl):
+    """Residual combination: sequential (GPT-2/Llama) or parallel
+    (GPT-NeoX: x + attn(ln1 x) + mlp(ln2 x); Phi shares one LN for both)."""
+    def run_mlp(h):
+        return ops.mlp(h, bp["w_up"], bp["w_down"],
+                       b_up=bp["b_up"], b_down=bp["b_down"],
+                       w_gate=bp["w_gate"], b_gate=bp["b_gate"],
+                       activation=spec.activation, impl=impl)
+
+    if spec.parallel_residual:
+        h2 = h_norm1 if spec.shared_ln else ops.norm(
+            x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
+            eps=spec.norm_eps, impl=impl)
+        return x + attn_out + run_mlp(h2)
+    x = x + attn_out
+    h2 = ops.norm(x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
+                  eps=spec.norm_eps, impl=impl)
+    return x + run_mlp(h2)
 
 
 def run_layer_stack(x: jax.Array, blocks, spec: ModelSpec, impl: Impl,
@@ -166,14 +200,8 @@ def run_layer_stack(x: jax.Array, blocks, spec: ModelSpec, impl: Impl,
             k = apply_rope(k, cos, sin)
         attn = ops.attention(q, k, v, causal=True, impl=impl)
         attn = attn.reshape(B, S, spec.q_dim)
-        x = x + ops.linear(attn, bp["wo"], bp["bo"], impl=impl)
-        h_norm = ops.norm(x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
-                          eps=spec.norm_eps, impl=impl)
-        x = x + ops.mlp(h_norm, bp["w_up"], bp["w_down"],
-                        b_up=bp["b_up"], b_down=bp["b_down"],
-                        w_gate=bp["w_gate"], b_gate=bp["b_gate"],
-                        activation=spec.activation, impl=impl)
-        return x, None
+        attn_out = ops.linear(attn, bp["wo"], bp["bo"], impl=impl)
+        return _residual_tail(x, attn_out, h_norm, bp, spec, impl), None
 
     x, _ = jax.lax.scan(block_fn, x, blocks)
     return x
@@ -201,6 +229,8 @@ def forward(
     """
     B, S = input_ids.shape
     x = params["tok_embed"][input_ids]  # [B, S, H]
+    if spec.embed_scale is not None:  # Gemma scales embeddings by sqrt(h)
+        x = x * jnp.asarray(spec.embed_scale, x.dtype)
     dtype = x.dtype
 
     cache_pos = cache["pos"] if cache is not None else jnp.int32(0)
@@ -212,7 +242,8 @@ def forward(
         x = x + params["pos_embed"][positions].astype(dtype)
         cos = sin = None
     else:
-        cos, sin = rope_cos_sin(positions, spec.head_size, spec.rope_theta, jnp.float32)
+        cos, sin = rope_cos_sin(positions, spec.rope_dim, spec.rope_theta,
+                                jnp.float32)
 
     kv_len = cache_pos + S if cache is not None else None
 
@@ -280,16 +311,8 @@ def forward(
             attn = ops.attention(q, k, v, causal=True, impl=impl)
 
         attn = attn.reshape(B, S, spec.q_dim)
-        x = x + ops.linear(attn, bp["wo"], bp["bo"], impl=impl)
-
-        # --- MLP sublayer ---
-        h_norm = ops.norm(x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
-                          eps=spec.norm_eps, impl=impl)
-        mlp_out = ops.mlp(h_norm, bp["w_up"], bp["w_down"],
-                          b_up=bp["b_up"], b_down=bp["b_down"],
-                          w_gate=bp["w_gate"], b_gate=bp["b_gate"],
-                          activation=spec.activation, impl=impl)
-        x = x + mlp_out
+        attn_out = ops.linear(attn, bp["wo"], bp["bo"], impl=impl)
+        x = _residual_tail(x, attn_out, h_norm, bp, spec, impl)
         return x, (cache_k, cache_v, cache_ks, cache_vs)
 
     blocks = params["blocks"]
@@ -313,7 +336,8 @@ def forward(
         return x, new_cache
 
     if params["lm_head"] is not None:
-        logits = ops.linear(x, params["lm_head"], impl=impl)
+        logits = ops.linear(x, params["lm_head"], params.get("lm_head_bias"),
+                            impl=impl)
     else:
         logits = x @ params["tok_embed"].T.astype(x.dtype)
     if spec.logits_softcap is not None:
@@ -390,13 +414,8 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
                                     interpret=interp)
 
         attn = attn.reshape(B, 1, spec.q_dim).astype(x.dtype)
-        x = x + ops.linear(attn, bp["wo"], bp["bo"], impl=impl)
-        h_norm = ops.norm(x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
-                          eps=spec.norm_eps, impl=impl)
-        x = x + ops.mlp(h_norm, bp["w_up"], bp["w_down"],
-                        b_up=bp["b_up"], b_down=bp["b_down"],
-                        w_gate=bp["w_gate"], b_gate=bp["b_gate"],
-                        activation=spec.activation, impl=impl)
+        attn_out = ops.linear(attn, bp["wo"], bp["bo"], impl=impl)
+        x = _residual_tail(x, attn_out, h_norm, bp, spec, impl)
         return (x, ck, cv, cks, cvs), None
 
     carry0 = (x, cache["k"], cache["v"],
@@ -408,7 +427,8 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
     x = ops.norm(x, params["final_scale"], params["final_bias"],
                  kind=spec.norm, eps=spec.norm_eps, impl=impl)
     if params["lm_head"] is not None:
-        logits = ops.linear(x, params["lm_head"], impl=impl)
+        logits = ops.linear(x, params["lm_head"], params.get("lm_head_bias"),
+                            impl=impl)
     else:
         logits = x @ params["tok_embed"].T.astype(x.dtype)
     if spec.logits_softcap is not None:

@@ -83,11 +83,13 @@ def mlp(x, w_up, w_down, *, b_up=None, b_down=None, w_gate=None, b_gate=None,
         # (A fully-fused quantized MLP kernel is a later optimization.)
         interp = _use_interpret(impl)
         h = _quant.linear(x, w_up, b_up, interpret=interp)
-        if activation == "swiglu":
+        if activation in ("swiglu", "geglu"):
             import jax.nn
 
             g = _quant.linear(x, w_gate, b_gate, interpret=interp)
-            h = jax.nn.silu(g) * h
+            act = (jax.nn.silu if activation == "swiglu"
+                   else lambda t: jax.nn.gelu(t, approximate=True))
+            h = act(g) * h
         elif activation in ("gelu_new", "gelu_tanh"):
             import jax.nn
 

@@ -30,6 +30,9 @@ def _activate(h, gate, activation):
     if activation == "swiglu":
         g = gate.astype(jnp.float32)
         return jax.nn.silu(g) * hf
+    if activation == "geglu":
+        g = gate.astype(jnp.float32)
+        return jax.nn.gelu(g, approximate=True) * hf
     if activation in ("gelu_new", "gelu_tanh"):
         return jax.nn.gelu(hf, approximate=True)
     if activation == "gelu":

@@ -105,12 +105,14 @@ def mlp_reference(
     h = x @ w_up
     if b_up is not None:
         h = h + b_up
-    if activation == "swiglu":
+    if activation in ("swiglu", "geglu"):
         assert w_gate is not None
         g = x @ w_gate
         if b_gate is not None:
             g = g + b_gate
-        h = jax.nn.silu(g) * h
+        gated = (jax.nn.silu(g) if activation == "swiglu"
+                 else jax.nn.gelu(g, approximate=True))
+        h = gated * h
     elif activation in ("gelu_new", "gelu_tanh"):
         h = jax.nn.gelu(h, approximate=True)
     elif activation == "gelu":

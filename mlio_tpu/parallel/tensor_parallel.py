@@ -52,6 +52,7 @@ def param_specs(spec: ModelSpec) -> Dict[str, Any]:
         "final_scale": P(None),
         "final_bias": P(None),
         "lm_head": P(None, "tensor"),
+        "lm_head_bias": P("tensor"),
     }
 
 
