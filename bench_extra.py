@@ -1,0 +1,131 @@
+"""Secondary benchmarks for the BASELINE.md configs beyond the headline.
+
+Prints one JSON line per scenario (same schema as bench.py). These cover:
+  * llama7b-int8: Llama-2-7B-class decode, INT8 weights + INT8 KV cache,
+    single chip (BASELINE config 3 at its single-chip slice). Weights are
+    random (init_quantized_params) — decode bandwidth does not depend on
+    values. vs_baseline = fraction of the INT8-weight HBM roofline.
+  * gpt2-int8: GPT-2 with INT8 weights + INT8 KV (config 2's quantized
+    path), vs the same bf16 roofline bench.py uses (so >1 shows the INT8
+    speedup over the bf16 ceiling).
+  * ring-65k: 65K-token causal attention via the chunked ring kernel
+    (config 4's single-chip mechanism), reported as prefill tokens/sec.
+
+Run on the real TPU: `python bench_extra.py [scenario ...]`.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+HBM_GBPS = 819.0  # v5e
+
+
+def _time(fn, warm=1):
+    for _ in range(warm):
+        fn()
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def llama7b_int8():
+    from mlio_tpu.models import Impl, get_spec
+    from mlio_tpu.runtime import generate
+    from mlio_tpu.runtime.quantization import init_quantized_params
+
+    spec = get_spec("llama2-7b")
+    params = init_quantized_params(spec, jax.random.PRNGKey(0))
+    B, NEW, CACHE = 8, 64, 1024
+    ids = jnp.zeros((B, 8), jnp.int32)
+    impl = Impl(attention="flash", norm="fused")
+
+    def run():
+        out = generate(params, spec, ids, max_new_tokens=NEW, impl=impl,
+                       cache_len=CACHE, cache_quant="int8")
+        return int(out[0, -1])
+
+    dt = _time(run)
+    tok_s = B * NEW / dt
+    # INT8 decode roofline: int8 projection weights + bf16 embeddings read
+    # once per step, plus the INT8 KV prefix per sequence.
+    h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
+    proj = l * (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
+                + 3 * h * i)
+    embed = 2 * spec.vocab_size * h * 2  # tok_embed read + lm_head (tied)
+    kv = B * 2 * l * CACHE * spec.kv_dim
+    step_bytes = proj + embed + kv
+    roofline = HBM_GBPS * 1e9 / step_bytes * B
+    return {"metric": "llama7b_int8_decode_tokens_per_sec_per_chip",
+            "value": round(tok_s, 1), "unit": "tok/s/chip",
+            "vs_baseline": round(tok_s / roofline, 3)}
+
+
+def gpt2_int8():
+    from mlio_tpu.models import Impl, get_spec
+    from mlio_tpu.runtime import generate
+    from mlio_tpu.runtime.quantization import init_quantized_params
+
+    spec = get_spec("gpt2")
+    params = init_quantized_params(spec, jax.random.PRNGKey(0))
+    B, NEW, CACHE = 8, 256, 1024
+    ids = jnp.zeros((B, 8), jnp.int32)
+    impl = Impl(attention="flash", norm="fused")
+
+    def run():
+        out = generate(params, spec, ids, max_new_tokens=NEW, impl=impl,
+                       cache_len=CACHE, cache_quant="int8")
+        return int(out[0, -1])
+
+    dt = _time(run)
+    tok_s = B * NEW / dt
+    # Same bf16 roofline as bench.py: >1.0 means INT8 beat the bf16 ceiling.
+    param_bytes = spec.num_params() * 2
+    kv = 2 * spec.num_layers * CACHE * spec.kv_dim * 2
+    roofline = HBM_GBPS * 1e9 / (param_bytes + B * kv) * B
+    return {"metric": "gpt2_int8_decode_tokens_per_sec_per_chip",
+            "value": round(tok_s, 1), "unit": "tok/s/chip",
+            "vs_baseline": round(tok_s / roofline, 3)}
+
+
+def ring_65k():
+    from mlio_tpu.ops.ring_attention import chunked_ring_attention
+
+    B, S, H, D = 1, 65536, 8, 64
+    q = jnp.ones((B, S, H, D), jnp.bfloat16)
+    k = jnp.ones((B, S, H, D), jnp.bfloat16)
+    v = jnp.ones((B, S, H, D), jnp.bfloat16)
+
+    @jax.jit
+    def run_attn(q, k, v):
+        return chunked_ring_attention(q, k, v, causal=True,
+                                      chunk_size=2048).sum()
+
+    def run():
+        return float(run_attn(q, k, v))
+
+    dt = _time(run)
+    tok_s = S / dt
+    # FLOPs-bound: causal attention = 2 * 4*S^2/2*H*D FLOPs at bf16 MXU
+    flops = 4 * B * H * S * S * D / 2 * 2  # QK^T + PV, causal half
+    peak = 197e12  # v5e bf16 peak FLOPs/s
+    return {"metric": "ring_attention_65k_prefill_tokens_per_sec",
+            "value": round(tok_s, 1), "unit": "tok/s",
+            "vs_baseline": round((flops / dt) / peak, 3)}
+
+
+SCENARIOS = {"llama7b-int8": llama7b_int8, "gpt2-int8": gpt2_int8,
+             "ring-65k": ring_65k}
+
+
+def main():
+    names = sys.argv[1:] or list(SCENARIOS)
+    for name in names:
+        res = SCENARIOS[name]()
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

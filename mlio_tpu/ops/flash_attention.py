@@ -144,8 +144,8 @@ def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
         m, l, acc = carry
         ks = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :]  # int8 [bkv, D]
         vs = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :]
-        ksc = kscale_ref[0, :, pl.ds(j * block_kv, block_kv)]  # [1, bkv]
-        vsc = vscale_ref[0, :, pl.ds(j * block_kv, block_kv)]
+        ksc = kscale_ref[0, 0, :, pl.ds(j * block_kv, block_kv)]  # [1, bkv]
+        vsc = vscale_ref[0, 0, :, pl.ds(j * block_kv, block_kv)]
         s = lax.dot_general(q, ks.astype(jnp.bfloat16),
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -281,8 +281,12 @@ def flash_attention(
                           constant_values=1.0)
             vsc = jnp.pad(vsc, ((0, 0), (0, 0), (0, skv_pad - Skv)),
                           constant_values=1.0)
-        sc_spec = pl.BlockSpec((1, 1, skv_pad),
-                               lambda b, h, i, *_: (b, h // group, 0))
+        # [B, Hkv, 1, Skv]: the unit axis keeps the block's last-two dims
+        # (1, skv_pad) equal to the array's (TPU block tiling rule).
+        ksc = ksc[:, :, None, :]
+        vsc = vsc[:, :, None, :]
+        sc_spec = pl.BlockSpec((1, 1, 1, skv_pad),
+                               lambda b, h, i, *_: (b, h // group, 0, 0))
         kernel = functools.partial(
             _flash_fwd_kernel_kvq, scale=scale, block_kv=bkv, causal=causal,
             skv=skv_pad, sq=Sq)

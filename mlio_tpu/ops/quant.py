@@ -245,7 +245,20 @@ def quant_matmul(
         )(x2[None], x2[None], q[None], scale.reshape(1, 1, n_pad))
         return out[0, :M, :N].reshape(orig_shape[:-1] + (N,))
 
-    bk = min(block_k, _round_up(K, 128))
+    if M <= 32:
+        # Decode (GEMV-like): the matmul is weight-read bound, so grid-step
+        # and pallas-call overheads dominate at default 512^2 tiles. Take
+        # the whole K per step and the widest N block that fits the VMEM
+        # budget — usually ONE grid step per projection.
+        budget = 8 << 20  # int8 bytes per weight block (x2 double-buffered)
+        bk = _round_up(K, 128)
+        target_bn = max(128, budget // bk)
+        n_n = max(1, -(-N // target_bn))
+        bn = _round_up(-(-N // n_n), 128)
+        n_pad = bn * n_n
+        n_m = 1
+    else:
+        bk = min(block_k, _round_up(K, 128))
     k_pad = _round_up(K, bk)
     if m_pad != M or k_pad != K:
         x2 = jnp.pad(x2, ((0, m_pad - M), (0, k_pad - K)))
@@ -269,6 +282,7 @@ def quant_matmul(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 << 20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * K * N,

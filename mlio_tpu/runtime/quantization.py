@@ -49,6 +49,67 @@ def quantize_params(
     return out
 
 
+def init_quantized_params(spec: ModelSpec, key: jax.Array,
+                          weights: str = "int8",
+                          dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random-init a pytree with projection weights ALREADY quantized.
+
+    Unlike init_params + quantize_params, this never materializes the
+    full-precision weights, so a 7B-class model can be staged for
+    benchmarking on a single 16GB chip without doubling peak HBM (weight
+    values are random; decode speed does not depend on them).
+    """
+    assert weights == "int8", "random-quantized init supports int8"
+    spec.validate()
+    h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
+    qd, kvd = spec.q_dim, spec.kv_dim
+    gated = spec.activation in ("swiglu", "geglu")
+    shapes = {"wq": (h, qd), "wk": (h, kvd), "wv": (h, kvd), "wo": (qd, h),
+              "w_up": (h, i), "w_gate": (h, i) if gated else None,
+              "w_down": (i, h)}
+    keys = jax.random.split(key, len(shapes) + 1)
+
+    def zeros(shape):
+        return jnp.zeros(shape, dtype)
+
+    def qweight(idx, kin, kout):
+        q = jax.random.randint(keys[idx], (l, kin, kout), -127, 128,
+                               dtype=jnp.int8)
+        # scale chosen so dequantized weights have ~fan-in init magnitude
+        scale = jnp.full((l, kout), (kin ** -0.5) / 64.0, jnp.float32)
+        return QTensor(q, scale, "int8")
+
+    blocks = {
+        "ln1_scale": jnp.ones((l, h), dtype),
+        "ln1_bias": zeros((l, h)) if spec.norm == "layernorm" else None,
+        "bq": zeros((l, qd)) if spec.use_qkv_bias else None,
+        "bk": zeros((l, kvd)) if spec.use_qkv_bias else None,
+        "bv": zeros((l, kvd)) if spec.use_qkv_bias else None,
+        "bo": zeros((l, h)) if spec.use_out_bias else None,
+        "ln2_scale": jnp.ones((l, h), dtype),
+        "ln2_bias": zeros((l, h)) if spec.norm == "layernorm" else None,
+        "b_up": zeros((l, i)) if spec.use_mlp_bias else None,
+        "b_gate": zeros((l, i)) if spec.use_mlp_bias and gated else None,
+        "b_down": zeros((l, h)) if spec.use_mlp_bias else None,
+    }
+    for idx, (name, shp) in enumerate(shapes.items()):
+        blocks[name] = qweight(idx, *shp) if shp is not None else None
+    return {
+        "tok_embed": (jax.random.normal(keys[-1], (spec.vocab_size, h))
+                      * 0.02).astype(dtype),
+        "pos_embed": (jnp.zeros((spec.max_seq_len, h), dtype)
+                      if spec.positional == "learned" else None),
+        "blocks": blocks,
+        "final_scale": jnp.ones((h,), dtype),
+        "final_bias": zeros((h,)) if spec.norm == "layernorm" else None,
+        "lm_head": (None if spec.tie_embeddings else
+                    (jax.random.normal(keys[-1], (h, spec.vocab_size))
+                     * h ** -0.5).astype(dtype)),
+        "lm_head_bias": (jnp.zeros((spec.vocab_size,), dtype)
+                         if spec.use_head_bias else None),
+    }
+
+
 def quantized_size_bytes(params) -> int:
     """Total parameter bytes after quantization (parity: quantization stats,
     inference.py:559-614)."""

@@ -114,3 +114,22 @@ def test_int4_model_runs():
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, spec.vocab_size)
     out, _ = forward(qparams, spec, ids)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_init_quantized_params_runs_forward():
+    """Direct random-quantized init (no fp staging) must produce a working
+    pytree — the 7B single-chip benchmark path (bench_extra.py)."""
+    import jax
+    from mlio_tpu.models import get_spec, forward
+    from mlio_tpu.runtime.quantization import init_quantized_params
+    from mlio_tpu.ops.quant import QTensor
+
+    spec = get_spec("llama-tiny")
+    params = init_quantized_params(spec, jax.random.PRNGKey(0),
+                                   dtype=jnp.float32)
+    assert isinstance(params["blocks"]["wq"], QTensor)
+    assert params["blocks"]["wq"].q.dtype == jnp.int8
+    ids = jnp.zeros((2, 5), jnp.int32)
+    logits, _ = forward(params, spec, ids)
+    assert logits.shape == (2, 5, spec.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
