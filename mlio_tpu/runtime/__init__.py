@@ -15,6 +15,11 @@ from mlio_tpu.runtime.quantization import (
     quantize_params,
     quantized_size_bytes,
 )
+from mlio_tpu.runtime.scheduler import (
+    CachingBlockManager,
+    PyScheduler,
+    make_scheduler,
+)
 
 __all__ = [
     "BlockManager",
@@ -34,4 +39,7 @@ __all__ = [
     "quantized_size_bytes",
     "calibrate_activation_scales",
     "sample",
+    "CachingBlockManager",
+    "PyScheduler",
+    "make_scheduler",
 ]
