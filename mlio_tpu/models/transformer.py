@@ -35,6 +35,10 @@ class Impl:
     mlp: str = "dense"  # "dense" | "fused"
     norm: str = "dense"  # "dense" | "fused"
     fused_ln_qkv: bool = False
+    # Decode-step layer iteration: "mega" fuses the WHOLE layer stack into
+    # one Pallas kernel per step (ops/decode_layer.py), "scan" keeps the
+    # per-op lax.scan path, "auto" picks mega when the model qualifies.
+    decode_stack: str = "auto"
     block_q: int = 128
     block_kv: int = 128
     ring_chunk: int = 512
@@ -361,12 +365,54 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
     B = x.shape[0]
     cache_pos = cache["pos"]
     quant = "k_scale" in cache
-    L, _, Smax, Hkv, D = cache["k"].shape
+    L, _, Smax = cache["k"].shape[:3]
+    if cache["k"].ndim == 5:
+        Hkv, D = cache["k"].shape[3:]
+    else:  # flat [L, B, Smax, Hkv*D] layout (generate's mega-decode carry)
+        Hkv, D = spec.num_kv_heads, spec.head_size
     ctx = jnp.full((B,), cache_pos + 1, jnp.int32)
     interp = (impl.interpret if impl.interpret is not None
               else jax.default_backend() != "tpu")
 
     from mlio_tpu.ops.decode_attention import decode_attention
+    from mlio_tpu.ops.decode_layer import (
+        decode_layer_stack,
+        supports_decode_stack,
+    )
+
+    use_mega = (impl.decode_stack == "mega"
+                or (impl.decode_stack == "auto"
+                    and supports_decode_stack(spec, cache_quant=quant)))
+    if use_mega and not quant:
+        # Contiguous-cache decode shares one position across the batch, so
+        # the per-step rope table collapses to [1, rope_dim].
+        cs = (cos[:1, 0], sin[:1, 0]) if cos is not None else (None, None)
+        ck, cv = cache["k"], cache["v"]
+        # The megakernel wants the FLAT [L, B, Smax, Hkv*D] cache layout;
+        # generate() carries it flat (flatten_cache) so this is free there.
+        # A 5D cache still works but pays a relayout copy each step.
+        flat_in = ck.ndim == 4
+        if not flat_in:
+            ck = ck.reshape(*ck.shape[:3], -1)
+            cv = cv.reshape(*cv.shape[:3], -1)
+        h, ck, cv = decode_layer_stack(
+            x[:, 0], params["blocks"], ck, cv, cache_pos,
+            cs[0], cs[1], spec=spec, interpret=interp)
+        if not flat_in:
+            ck = ck.reshape(L, B, Smax, Hkv, D)
+            cv = cv.reshape(L, B, Smax, Hkv, D)
+        x = h[:, None, :].astype(x.dtype)
+        x = ops.norm(x, params["final_scale"], params["final_bias"],
+                     kind=spec.norm, eps=spec.norm_eps, impl=impl)
+        if params["lm_head"] is not None:
+            logits = ops.linear(x, params["lm_head"],
+                                params.get("lm_head_bias"), impl=impl)
+        else:
+            logits = x @ params["tok_embed"].T.astype(x.dtype)
+        if spec.logits_softcap is not None:
+            logits = spec.logits_softcap * jnp.tanh(
+                logits / spec.logits_softcap)
+        return logits, {"k": ck, "v": cv, "pos": cache_pos + 1}
 
     def block_fn(carry, inputs):
         x, ck, cv, cks, cvs = carry

@@ -1,0 +1,436 @@
+"""Decode megakernel: the ENTIRE layer stack of one decode step in ONE
+pallas_call.
+
+Why: decode on this class of model is op-launch-bound, not bandwidth-bound —
+a GPT-2 decode step is ~100 small XLA ops (measured fixed cost ~10-15us per
+matmul at [8, 768] GEMV shapes), so the step takes ~1ms while its weight
+traffic (~170MB) only justifies ~0.4ms. This kernel runs norm -> QKV ->
+RoPE -> KV-cache write -> blockwise attention over the cache -> out-proj ->
+norm -> MLP for ALL layers inside a single kernel with grid=(num_layers,):
+per-layer weights stream HBM->VMEM through Pallas's pipeline (next layer's
+weights prefetch while the current layer computes), the residual lives in a
+VMEM scratch across grid steps, and the KV cache is read/written with manual
+DMA. One kernel launch replaces ~100.
+
+Layout strategy: Mosaic cannot split the lane (minor) dimension, so there is
+no [B, H] -> [B, heads, D] reshape anywhere. Everything stays FLAT
+([B, Qd] / [B, KVd] / cache [L, B, Smax, KVd]) and the per-head structure is
+expressed with constant matrices on the MXU:
+  * scores    s[b,t,h] = ks[b,t] . (q[b] masked to head h)   (masked-Q dot)
+  * prob bcast P'[b,t,:] = p[b,t,:] @ EXPAND  (0/1 head->lanes matrix)
+  * GQA       ks_full = ks @ GROUP  (0/1 kv-head -> q-head replication)
+  * RoPE      rot(x) = x*cosf + (x @ ROT)*sinf (signed permutation matrix)
+
+Capability parity: the fully-fused attention idea of the reference
+(_fused_attention_kernel, /root/reference/kernels/triton/
+flash_attention_kernels.py:347-684) taken to its TPU-native conclusion —
+the reference fuses one attention layer; here the whole decode stack fuses
+because the grid dimension IS the layer index.
+
+Constraints: per-layer weights must fit the VMEM budget (true for
+GPT-2-class models; larger models fall back to the per-op decode path),
+contiguous cache, no KV quant (int8 KV keeps the existing path), sequential
+residual.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+_VMEM_LIMIT = 100 << 20
+
+
+def _pad(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _norm(x32, scale_ref, bias_ref, kind, eps):
+    scale = scale_ref[0].astype(jnp.float32)
+    if kind == "rmsnorm":
+        x32 = x32 * lax.rsqrt(jnp.mean(x32 * x32, -1, keepdims=True) + eps)
+        return x32 * scale
+    mu = jnp.mean(x32, -1, keepdims=True)
+    xc = x32 - mu
+    x32 = xc * lax.rsqrt(jnp.mean(xc * xc, -1, keepdims=True) + eps)
+    out = x32 * scale
+    if bias_ref is not None:
+        out = out + bias_ref[0].astype(jnp.float32)
+    return out
+
+
+def _mm(h16, w_ref, b_ref):
+    y = jnp.dot(h16, w_ref[0], preferred_element_type=jnp.float32)
+    if b_ref is not None:
+        y = y + b_ref[0].astype(jnp.float32)
+    return y
+
+
+def _activate(u, g, activation):
+    if activation == "swiglu":
+        return jax.nn.silu(g) * u
+    if activation == "geglu":
+        return jax.nn.gelu(g, approximate=True) * u
+    if activation in ("gelu_new", "gelu_tanh"):
+        return jax.nn.gelu(u, approximate=True)
+    if activation == "gelu":
+        return jax.nn.gelu(u, approximate=False)
+    if activation == "relu":
+        return jnp.maximum(u, 0.0)
+    raise ValueError(f"unknown activation {activation}")
+
+
+_NAMES = ["x", "cosq", "sinq", "cosk", "sink", "rotq", "rotk",
+          "expand", "group",
+          "ln1_scale", "ln1_bias", "wq", "bq", "wk", "bk", "wv", "bv",
+          "wo", "bo", "ln2_scale", "ln2_bias",
+          "w_up", "b_up", "w_gate", "b_gate", "w_down", "b_down",
+          "k_cache", "v_cache"]
+
+
+def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
+                         norm, eps, activation, scale, gated, grouped):
+    """One grid step == one transformer layer of the decode step."""
+    it = iter(refs)
+    r = {n: (next(it) if flags[n] else None) for n in _NAMES}
+    x_out, k_new, v_new = next(it), next(it), next(it)
+    x_res, kb, vb, sems = next(it), next(it), next(it), next(it)
+
+    layer = pl.program_id(0)
+    pos = pos_ref[0, 0]
+
+    @pl.when(layer == 0)
+    def _():
+        x_res[...] = r["x"][...].astype(jnp.float32)
+
+    x32 = x_res[...]
+    h16 = _norm(x32, r["ln1_scale"], r["ln1_bias"], norm, eps).astype(
+        r["wq"].dtype)
+
+    q = _mm(h16, r["wq"], r["bq"])                            # [B, Qd] f32
+    k = _mm(h16, r["wk"], r["bk"])                            # [B, KVd]
+    v = _mm(h16, r["wv"], r["bv"])
+    if r["rotq"] is not None:
+        cosq = r["cosq"][...].astype(jnp.float32)
+        sinq = r["sinq"][...].astype(jnp.float32)
+        q = q * cosq + jnp.dot(q, r["rotq"][...].astype(jnp.float32),
+                               preferred_element_type=jnp.float32) * sinq
+        cosk = r["cosk"][...].astype(jnp.float32)
+        sink = r["sink"][...].astype(jnp.float32)
+        k = k * cosk + jnp.dot(k, r["rotk"][...].astype(jnp.float32),
+                               preferred_element_type=jnp.float32) * sink
+
+    # ---- emit current K/V as pipelined outputs [L, B, 1, KVd]; the caller
+    # merges them into the cache with ONE dynamic_update_slice per step (a
+    # single-token DMA into the (8,128)-tiled cache is not sliceable from
+    # inside the kernel). The attention below keeps the current token IN
+    # VMEM, so nothing here depends on the cache being updated yet.
+    k_new[...] = k[None, :, None, :].astype(k_new.dtype)
+    v_new[...] = v[None, :, None, :].astype(v_new.dtype)
+
+    expand = r["expand"][...]                                 # [Hq, Qd] 0/1
+    expf = expand.astype(jnp.float32)
+    bf = r["wq"].dtype
+    qs = q * scale                                            # [B, Qd] f32
+    # Masked-Q for per-head dots: QM[b, d, h] = qs[b, d] * expand[h, d],
+    # pre-folded through the GQA replication so score dots contract KVd
+    # directly against the cache blocks (no per-block K expansion).
+    # (built in f32: bf16 minor-dim insertion is unsupported in Mosaic)
+    qmask = qs[:, :, None] * expand.T[None].astype(jnp.float32)
+    if grouped:
+        qmask = jax.vmap(lambda a: jnp.dot(
+            r["group"][...].astype(jnp.float32), a,
+            preferred_element_type=jnp.float32))(qmask)
+    qmask = qmask.astype(bf)                                  # [B, *, Hq]
+
+    ctx = pos
+    nb = (ctx + bs - 1) // bs
+    m0 = jnp.full((B, 1, Hq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, 1, Hq), jnp.float32)
+    a0 = jnp.zeros((B, Hq * D), jnp.float32)
+
+    def pv_select(pv_hk):
+        """[B, Hq, KVd] head-major PV -> flat [B, Qd] (pick each q lane's
+        own head row, mapping kv lanes to q lanes through GROUP)."""
+        if grouped:
+            pv_hk = jax.vmap(lambda a: jnp.dot(
+                a, r["group"][...].astype(jnp.float32),
+                preferred_element_type=jnp.float32))(pv_hk)   # [B, Hq, Qd]
+        return jnp.sum(pv_hk * expf[None], axis=1)            # [B, Qd]
+
+    def softmax_update(s, m, l, acc, vals):
+        """Online-softmax merge of scores s [B, T, Hq] with values
+        vals [B, T, KVd] (bf16) into (m, l, acc)."""
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_new))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(jnp.isneginf(s), 0.0, p)
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # PV[b, h, :] = sum_t p[b,t,h] * vals[b,t,:]  (MXU, contract T)
+        pv_hk = lax.dot_general(p.astype(vals.dtype), vals,
+                                (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        alpha_lane = jnp.squeeze(lax.dot_general(
+            alpha, expf, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), axis=1)      # [B, Qd]
+        acc = acc * alpha_lane + pv_select(pv_hk)
+        return m_new, l, acc
+
+    def block(j, carry):
+        m, l, acc = carry
+        kr = pltpu.make_async_copy(
+            r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb, sems.at[0])
+        vr = pltpu.make_async_copy(
+            r["v_cache"].at[layer, :, pl.ds(j * bs, bs)], vb, sems.at[1])
+        kr.start()
+        vr.start()
+        kr.wait()
+        vr.wait()
+        s = lax.dot_general(kb[...], qmask, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+        col = j * bs + lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < ctx, s, NEG_INF)                  # [B, bs, Hq]
+        return softmax_update(s, m, l, acc, vb[...])
+
+    m, l, acc = lax.fori_loop(0, nb, block, (m0, l0, a0))
+
+    # current token's contribution, straight from VMEM
+    kf = k.astype(bf)[:, None, :]                             # [B, 1, KVd]
+    vf = v.astype(bf)[:, None, :]
+    s_cur = lax.dot_general(kf, qmask, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    m, l, acc = softmax_update(s_cur, m, l, acc, vf)
+
+    l_lane = jnp.squeeze(lax.dot_general(
+        l, expf, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32), axis=1)          # [B, Qd]
+    l_safe = jnp.where(l_lane == 0.0, 1.0, l_lane)
+    attn = acc / l_safe                                       # [B, Qd]
+
+    o = _mm(attn.astype(h16.dtype), r["wo"], r["bo"])
+    x32 = x32 + o
+
+    h2 = _norm(x32, r["ln2_scale"], r["ln2_bias"], norm, eps).astype(
+        h16.dtype)
+    u = _mm(h2, r["w_up"], r["b_up"])
+    g = _mm(h2, r["w_gate"], r["b_gate"]) if gated else None
+    act = _activate(u, g, activation).astype(h16.dtype)
+    d = _mm(act, r["w_down"], r["b_down"])
+    x32 = x32 + d
+    x_res[...] = x32
+
+    @pl.when(layer == pl.num_programs(0) - 1)
+    def _():
+        x_out[...] = x32.astype(x_out.dtype)
+
+
+def decode_vmem_bytes(spec, B: int, bs: int, itemsize: int = 2) -> int:
+    """Double-buffered per-layer weight bytes + attention scratch."""
+    h, i = spec.hidden_size, spec.intermediate_size
+    gated = spec.activation in ("swiglu", "geglu")
+    per_layer = (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
+                 + (3 if gated else 2) * h * i) * itemsize
+    attn = 2 * B * bs * _pad(spec.kv_dim, 128) * itemsize
+    # fp32 block temps: ks/vs/pexp/vfull at [B, bs, Qd]
+    temps = 4 * B * bs * _pad(spec.q_dim, 128) * 4
+    x_scr = B * _pad(h, 128) * 4
+    consts = (spec.num_heads * spec.q_dim * itemsize
+              + 2 * spec.q_dim * spec.q_dim * itemsize)
+    return 2 * per_layer + attn + temps + x_scr + consts
+
+
+def supports_decode_stack(spec, cache_quant: bool = False) -> bool:
+    """Whether the megakernel path applies (VMEM + feature constraints)."""
+    if cache_quant or spec.parallel_residual:
+        return False
+    if spec.activation not in ("swiglu", "geglu", "gelu", "gelu_new",
+                               "gelu_tanh", "relu"):
+        return False
+    return decode_vmem_bytes(spec, 8, 128) < (_VMEM_LIMIT - (12 << 20))
+
+
+def _rope_consts(spec, cos, sin, heads, dtype):
+    """Flat-layout RoPE: per-lane cos/sin [1, heads*D] and the signed
+    rotate-half permutation ROT [heads*D, heads*D] (x@ROT == rotate_half)."""
+    D = spec.head_size
+    rot = spec.rope_dim
+    half = rot // 2
+    n = heads * D
+    lane = jnp.arange(D)
+    cpad = jnp.where(lane < rot, jnp.concatenate(
+        [cos[0], jnp.ones((D - rot,), cos.dtype)]), 1.0)
+    spad = jnp.concatenate([sin[0], jnp.zeros((D - rot,), sin.dtype)])
+    cosf = jnp.tile(cpad, heads)[None].astype(dtype)
+    sinf = jnp.tile(spad, heads)[None].astype(dtype)
+    din = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    dout = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    same = (din // D) == (dout // D)
+    i_in, i_out = din % D, dout % D
+    neg = same & (i_out < half) & (i_in == i_out + half)
+    pos_ = same & (i_out >= half) & (i_out < rot) & (i_in == i_out - half)
+    rotm = jnp.where(neg, -1.0, jnp.where(pos_, 1.0, 0.0)).astype(dtype)
+    return cosf, sinf, rotm
+
+
+def decode_layer_stack(
+    x: jax.Array,              # [B, H] current-token hidden states
+    blocks,                    # stacked per-layer params (transformer layout)
+    k_cache: jax.Array,        # [L, B, Smax, Hkv*D] — FLAT head layout
+    v_cache: jax.Array,
+    pos,                       # int32 scalar: write position (ctx = pos+1)
+    cos: Optional[jax.Array],  # [1, rope_dim] or None
+    sin: Optional[jax.Array],
+    *,
+    spec,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+):
+    """Run all layers of one decode step in a single Pallas kernel.
+
+    The cache must be FLAT [L, B, Smax, Hkv*D]: on TPU the 5D
+    [..., Hkv, D] and flat [..., Hkv*D] layouts are physically different
+    tilings, so a reshape here would relayout-copy the whole cache every
+    step — the caller flattens ONCE at the prefill/decode boundary instead
+    (runtime/generate.py).
+
+    Returns (x_out [B, H], k_cache, v_cache) updated."""
+    B, H = x.shape
+    L, _, Smax, KVd = k_cache.shape
+    Hq = spec.num_heads
+    Hkv = spec.num_kv_heads
+    D = spec.head_size
+    Qd = Hq * D
+    assert KVd == Hkv * D, "decode_layer_stack expects a flat cache"
+    G = Hq // Hkv
+    if scale is None:
+        scale = D ** -0.5
+    bs = 128 if Smax % 128 == 0 else 64
+    while Smax % bs:
+        bs //= 2
+    gated = spec.activation in ("swiglu", "geglu")
+    wdtype = blocks["wq"].dtype
+
+    kc = k_cache
+    vc = v_cache
+
+    # constant head-structure matrices
+    lanes = jnp.arange(Qd)
+    expand = (lanes[None, :] // D
+              == jnp.arange(Hq)[:, None]).astype(wdtype)      # [Hq, Qd]
+    if G > 1:
+        kv_lane = jnp.arange(KVd)
+        group = ((kv_lane[:, None] // D == (lanes[None, :] // D) // G)
+                 & (kv_lane[:, None] % D
+                    == lanes[None, :] % D)).astype(wdtype)    # [KVd, Qd]
+    else:
+        group = None
+    if cos is not None:
+        cosq, sinq, rotq = _rope_consts(spec, cos, sin, Hq, wdtype)
+        if Hkv != Hq:
+            cosk, sink, rotk = _rope_consts(spec, cos, sin, Hkv, wdtype)
+        else:
+            cosk, sink, rotk = cosq, sinq, rotq
+    else:
+        cosq = sinq = rotq = cosk = sink = rotk = None
+
+    bp = blocks
+    operands = {
+        "x": x,
+        "cosq": cosq, "sinq": sinq, "cosk": cosk, "sink": sink,
+        "rotq": rotq, "rotk": rotk,
+        "expand": expand, "group": group,
+        "ln1_scale": bp["ln1_scale"], "ln1_bias": bp["ln1_bias"],
+        "wq": bp["wq"], "bq": bp["bq"],
+        "wk": bp["wk"], "bk": bp["bk"],
+        "wv": bp["wv"], "bv": bp["bv"],
+        "wo": bp["wo"], "bo": bp["bo"],
+        "ln2_scale": bp["ln2_scale"], "ln2_bias": bp["ln2_bias"],
+        "w_up": bp["w_up"], "b_up": bp["b_up"],
+        "w_gate": bp["w_gate"] if gated else None,
+        "b_gate": bp["b_gate"] if gated else None,
+        "w_down": bp["w_down"], "b_down": bp["b_down"],
+        "k_cache": kc, "v_cache": vc,
+    }
+    _PER_LAYER = {"ln1_scale", "ln1_bias", "wq", "bq", "wk", "bk", "wv",
+                  "bv", "wo", "bo", "ln2_scale", "ln2_bias", "w_up", "b_up",
+                  "w_gate", "b_gate", "w_down", "b_down"}
+    # [L, X] per-layer vectors -> [L, 1, X] so the (1, 1, X) block satisfies
+    # Mosaic's last-two-dims rule (block == full array dims on those axes).
+    for n in _PER_LAYER:
+        v = operands[n]
+        if v is not None and v.ndim == 2:
+            operands[n] = v[:, None, :]
+    flags = {n: operands[n] is not None for n in _NAMES}
+
+    in_specs = []
+    args = []
+    flat_idx = {}
+    idx = 1  # slot 0 is the scalar-prefetch pos
+    for n in _NAMES:
+        v = operands[n]
+        if v is None:
+            continue
+        flat_idx[n] = idx
+        idx += 1
+        args.append(v)
+        if n in ("k_cache", "v_cache"):
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        elif n in _PER_LAYER:
+            shape = v.shape
+            in_specs.append(pl.BlockSpec(
+                (1,) + shape[1:],
+                lambda l, *_, _nd=v.ndim: (l,) + (0,) * (_nd - 1)))
+        else:  # whole-array constants, fetched once
+            in_specs.append(pl.BlockSpec(
+                v.shape, lambda l, *_, _nd=v.ndim: (0,) * _nd))
+
+    out_specs = (
+        pl.BlockSpec(x.shape, lambda l, *_: (0, 0)),
+        pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (l, 0, 0, 0)),
+        pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (l, 0, 0, 0)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, H), x.dtype),
+        jax.ShapeDtypeStruct((L, B, 1, KVd), kc.dtype),
+        jax.ShapeDtypeStruct((L, B, 1, KVd), vc.dtype),
+    )
+
+    kernel = functools.partial(
+        _decode_stack_kernel, flags=flags, B=B, Hq=Hq, D=D, bs=bs,
+        norm=spec.norm, eps=spec.norm_eps, activation=spec.activation,
+        scale=scale, gated=gated, grouped=G > 1)
+
+    # pos rides in SMEM as a (1,1) operand — scalar PREFETCH measurably
+    # halves pipeline throughput here and no index map needs pos, so a
+    # plain grid + SMEM scalar is the right shape.
+    pos_spec = pl.BlockSpec((1, 1), lambda l, *_: (0, 0),
+                            memory_space=pltpu.SMEM)
+    x_out, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[pos_spec] + in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),                  # residual
+            pltpu.VMEM((B, bs, KVd), kc.dtype),               # k attn block
+            pltpu.VMEM((B, bs, KVd), vc.dtype),               # v attn block
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1, 1), *args)
+    # one token write per STEP (all layers at once) — outside the kernel
+    # because a 1-sublane DMA into the tiled cache is not expressible inside
+    kc = lax.dynamic_update_slice(kc, k_out, (0, 0, pos, 0))
+    vc = lax.dynamic_update_slice(vc, v_out, (0, 0, pos, 0))
+    return x_out, kc, vc

@@ -45,6 +45,21 @@ def _generate_impl(
     logits, cache = forward(params, spec, input_ids, impl=impl, cache=cache)
     next_token = sampling.sample(logits[:, -1, :], rng, method)  # [B]
 
+    # Decode-megakernel carry: flatten the cache ONCE at the prefill/decode
+    # boundary. The flat [L, B, Smax, Hkv*D] and 5D layouts are physically
+    # different TPU tilings; reshaping inside the step would relayout-copy
+    # the whole cache every token (ops/decode_layer.py).
+    from mlio_tpu.ops.decode_layer import supports_decode_stack
+
+    use_mega = (impl.decode_stack == "mega"
+                or (impl.decode_stack == "auto"
+                    and supports_decode_stack(
+                        spec, cache_quant=cache_quant not in (None, "none"))))
+    if use_mega and impl.attention != "dense" and cache_quant in (None, "none"):
+        cache = dict(cache)
+        cache["k"] = cache["k"].reshape(*cache["k"].shape[:3], -1)
+        cache["v"] = cache["v"].reshape(*cache["v"].shape[:3], -1)
+
     def step(carry, rng_step):
         cache, token = carry
         logits, cache = forward(params, spec, token[:, None], impl=impl,
