@@ -382,7 +382,8 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
 
     use_mega = (impl.decode_stack == "mega"
                 or (impl.decode_stack == "auto"
-                    and supports_decode_stack(spec, cache_quant=quant)))
+                    and supports_decode_stack(spec, cache_quant=quant,
+                                              blocks=params["blocks"])))
     if use_mega and not quant:
         # Contiguous-cache decode shares one position across the batch, so
         # the per-step rope table collapses to [1, rope_dim].

@@ -65,8 +65,16 @@ def _norm(x32, scale_ref, bias_ref, kind, eps):
     return out
 
 
-def _mm(h16, w_ref, b_ref):
-    y = jnp.dot(h16, w_ref[0], preferred_element_type=jnp.float32)
+def _mm(h16, w_ref, b_ref, s_ref=None):
+    """x @ W (+bias). With s_ref, W is INT8 and the per-output-channel
+    dequant fuses here: convert the VMEM block to the compute dtype for the
+    MXU (weight bytes over HBM stay halved) and scale the f32 result."""
+    w = w_ref[0]
+    if s_ref is not None:
+        w = w.astype(h16.dtype)
+    y = jnp.dot(h16, w, preferred_element_type=jnp.float32)
+    if s_ref is not None:
+        y = y * s_ref[0].astype(jnp.float32)
     if b_ref is not None:
         y = y + b_ref[0].astype(jnp.float32)
     return y
@@ -88,14 +96,16 @@ def _activate(u, g, activation):
 
 _NAMES = ["x", "cosq", "sinq", "cosk", "sink", "rotq", "rotk",
           "expand", "group",
-          "ln1_scale", "ln1_bias", "wq", "bq", "wk", "bk", "wv", "bv",
-          "wo", "bo", "ln2_scale", "ln2_bias",
-          "w_up", "b_up", "w_gate", "b_gate", "w_down", "b_down",
+          "ln1_scale", "ln1_bias", "wq", "sq", "bq", "wk", "sk", "bk",
+          "wv", "sv", "bv", "wo", "so", "bo", "ln2_scale", "ln2_bias",
+          "w_up", "s_up", "b_up", "w_gate", "s_gate", "b_gate",
+          "w_down", "s_down", "b_down",
           "k_cache", "v_cache"]
 
 
 def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
-                         norm, eps, activation, scale, gated, grouped):
+                         norm, eps, activation, scale, gated, grouped,
+                         cdtype):
     """One grid step == one transformer layer of the decode step."""
     it = iter(refs)
     r = {n: (next(it) if flags[n] else None) for n in _NAMES}
@@ -110,12 +120,11 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
         x_res[...] = r["x"][...].astype(jnp.float32)
 
     x32 = x_res[...]
-    h16 = _norm(x32, r["ln1_scale"], r["ln1_bias"], norm, eps).astype(
-        r["wq"].dtype)
+    h16 = _norm(x32, r["ln1_scale"], r["ln1_bias"], norm, eps).astype(cdtype)
 
-    q = _mm(h16, r["wq"], r["bq"])                            # [B, Qd] f32
-    k = _mm(h16, r["wk"], r["bk"])                            # [B, KVd]
-    v = _mm(h16, r["wv"], r["bv"])
+    q = _mm(h16, r["wq"], r["bq"], r["sq"])                   # [B, Qd] f32
+    k = _mm(h16, r["wk"], r["bk"], r["sk"])                   # [B, KVd]
+    v = _mm(h16, r["wv"], r["bv"], r["sv"])
     if r["rotq"] is not None:
         cosq = r["cosq"][...].astype(jnp.float32)
         sinq = r["sinq"][...].astype(jnp.float32)
@@ -136,7 +145,7 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
 
     expand = r["expand"][...]                                 # [Hq, Qd] 0/1
     expf = expand.astype(jnp.float32)
-    bf = r["wq"].dtype
+    bf = cdtype
     qs = q * scale                                            # [B, Qd] f32
     # Masked-Q for per-head dots: QM[b, d, h] = qs[b, d] * expand[h, d],
     # pre-folded through the GQA replication so score dots contract KVd
@@ -213,15 +222,15 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
     l_safe = jnp.where(l_lane == 0.0, 1.0, l_lane)
     attn = acc / l_safe                                       # [B, Qd]
 
-    o = _mm(attn.astype(h16.dtype), r["wo"], r["bo"])
+    o = _mm(attn.astype(cdtype), r["wo"], r["bo"], r["so"])
     x32 = x32 + o
 
     h2 = _norm(x32, r["ln2_scale"], r["ln2_bias"], norm, eps).astype(
         h16.dtype)
-    u = _mm(h2, r["w_up"], r["b_up"])
-    g = _mm(h2, r["w_gate"], r["b_gate"]) if gated else None
+    u = _mm(h2, r["w_up"], r["b_up"], r["s_up"])
+    g = _mm(h2, r["w_gate"], r["b_gate"], r["s_gate"]) if gated else None
     act = _activate(u, g, activation).astype(h16.dtype)
-    d = _mm(act, r["w_down"], r["b_down"])
+    d = _mm(act, r["w_down"], r["b_down"], r["s_down"])
     x32 = x32 + d
     x_res[...] = x32
 
@@ -230,29 +239,48 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
         x_out[...] = x32.astype(x_out.dtype)
 
 
-def decode_vmem_bytes(spec, B: int, bs: int, itemsize: int = 2) -> int:
+def decode_vmem_bytes(spec, B: int, bs: int, weight_itemsize: int = 2,
+                      cache_itemsize: int = 2) -> int:
     """Double-buffered per-layer weight bytes + attention scratch."""
     h, i = spec.hidden_size, spec.intermediate_size
     gated = spec.activation in ("swiglu", "geglu")
     per_layer = (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
-                 + (3 if gated else 2) * h * i) * itemsize
-    attn = 2 * B * bs * _pad(spec.kv_dim, 128) * itemsize
+                 + (3 if gated else 2) * h * i) * weight_itemsize
+    attn = 2 * B * bs * _pad(spec.kv_dim, 128) * cache_itemsize
     # fp32 block temps: ks/vs/pexp/vfull at [B, bs, Qd]
     temps = 4 * B * bs * _pad(spec.q_dim, 128) * 4
     x_scr = B * _pad(h, 128) * 4
-    consts = (spec.num_heads * spec.q_dim * itemsize
-              + 2 * spec.q_dim * spec.q_dim * itemsize)
+    consts = (spec.num_heads * spec.q_dim * 2
+              + 2 * spec.q_dim * spec.q_dim * 2)
     return 2 * per_layer + attn + temps + x_scr + consts
 
 
-def supports_decode_stack(spec, cache_quant: bool = False) -> bool:
+def _weight_itemsize(blocks) -> Optional[int]:
+    """1 for int8 QTensor weights, 2 for bf16/f16, 4 for f32; None if the
+    weights are quantized in a format the megakernel does not handle."""
+    from mlio_tpu.ops.quant import QTensor
+
+    w = blocks["wq"] if blocks is not None else None
+    if isinstance(w, QTensor):
+        return 1 if w.fmt == "int8" else None
+    if w is None:
+        return 2
+    return jnp.dtype(w.dtype).itemsize
+
+
+def supports_decode_stack(spec, cache_quant: bool = False,
+                          blocks=None) -> bool:
     """Whether the megakernel path applies (VMEM + feature constraints)."""
     if cache_quant or spec.parallel_residual:
         return False
     if spec.activation not in ("swiglu", "geglu", "gelu", "gelu_new",
                                "gelu_tanh", "relu"):
         return False
-    return decode_vmem_bytes(spec, 8, 128) < (_VMEM_LIMIT - (12 << 20))
+    itemsize = _weight_itemsize(blocks)
+    if itemsize is None:
+        return False
+    return (decode_vmem_bytes(spec, 8, 128, itemsize)
+            < (_VMEM_LIMIT - (12 << 20)))
 
 
 def _rope_consts(spec, cos, sin, heads, dtype):
@@ -314,7 +342,19 @@ def decode_layer_stack(
     while Smax % bs:
         bs //= 2
     gated = spec.activation in ("swiglu", "geglu")
-    wdtype = blocks["wq"].dtype
+    cdtype = x.dtype  # compute dtype (weights may be int8 QTensors)
+    wdtype = cdtype
+
+    from mlio_tpu.ops.quant import QTensor
+
+    def wq_pair(name):
+        """(payload, scale[L,1,N] or None) for a maybe-quantized weight."""
+        w = blocks.get(name)
+        if isinstance(w, QTensor):
+            assert w.fmt == "int8", \
+                "decode megakernel handles int8 weight quant only"
+            return w.q, w.scale.astype(jnp.float32)[:, None, :]
+        return w, None
 
     kc = k_cache
     vc = v_cache
@@ -340,26 +380,34 @@ def decode_layer_stack(
         cosq = sinq = rotq = cosk = sink = rotk = None
 
     bp = blocks
+    wq_, sq_ = wq_pair("wq")
+    wk_, sk_ = wq_pair("wk")
+    wv_, sv_ = wq_pair("wv")
+    wo_, so_ = wq_pair("wo")
+    wu_, su_ = wq_pair("w_up")
+    wg_, sg_ = wq_pair("w_gate") if gated else (None, None)
+    wd_, sd_ = wq_pair("w_down")
     operands = {
         "x": x,
         "cosq": cosq, "sinq": sinq, "cosk": cosk, "sink": sink,
         "rotq": rotq, "rotk": rotk,
         "expand": expand, "group": group,
         "ln1_scale": bp["ln1_scale"], "ln1_bias": bp["ln1_bias"],
-        "wq": bp["wq"], "bq": bp["bq"],
-        "wk": bp["wk"], "bk": bp["bk"],
-        "wv": bp["wv"], "bv": bp["bv"],
-        "wo": bp["wo"], "bo": bp["bo"],
+        "wq": wq_, "sq": sq_, "bq": bp["bq"],
+        "wk": wk_, "sk": sk_, "bk": bp["bk"],
+        "wv": wv_, "sv": sv_, "bv": bp["bv"],
+        "wo": wo_, "so": so_, "bo": bp["bo"],
         "ln2_scale": bp["ln2_scale"], "ln2_bias": bp["ln2_bias"],
-        "w_up": bp["w_up"], "b_up": bp["b_up"],
-        "w_gate": bp["w_gate"] if gated else None,
+        "w_up": wu_, "s_up": su_, "b_up": bp["b_up"],
+        "w_gate": wg_, "s_gate": sg_,
         "b_gate": bp["b_gate"] if gated else None,
-        "w_down": bp["w_down"], "b_down": bp["b_down"],
+        "w_down": wd_, "s_down": sd_, "b_down": bp["b_down"],
         "k_cache": kc, "v_cache": vc,
     }
-    _PER_LAYER = {"ln1_scale", "ln1_bias", "wq", "bq", "wk", "bk", "wv",
-                  "bv", "wo", "bo", "ln2_scale", "ln2_bias", "w_up", "b_up",
-                  "w_gate", "b_gate", "w_down", "b_down"}
+    _PER_LAYER = {"ln1_scale", "ln1_bias", "wq", "sq", "bq", "wk", "sk",
+                  "bk", "wv", "sv", "bv", "wo", "so", "bo", "ln2_scale",
+                  "ln2_bias", "w_up", "s_up", "b_up", "w_gate", "s_gate",
+                  "b_gate", "w_down", "s_down", "b_down"}
     # [L, X] per-layer vectors -> [L, 1, X] so the (1, 1, X) block satisfies
     # Mosaic's last-two-dims rule (block == full array dims on those axes).
     for n in _PER_LAYER:
@@ -404,7 +452,7 @@ def decode_layer_stack(
     kernel = functools.partial(
         _decode_stack_kernel, flags=flags, B=B, Hq=Hq, D=D, bs=bs,
         norm=spec.norm, eps=spec.norm_eps, activation=spec.activation,
-        scale=scale, gated=gated, grouped=G > 1)
+        scale=scale, gated=gated, grouped=G > 1, cdtype=cdtype)
 
     # pos rides in SMEM as a (1,1) operand — scalar PREFETCH measurably
     # halves pipeline throughput here and no index map needs pos, so a

@@ -54,7 +54,9 @@ def _generate_impl(
     use_mega = (impl.decode_stack == "mega"
                 or (impl.decode_stack == "auto"
                     and supports_decode_stack(
-                        spec, cache_quant=cache_quant not in (None, "none"))))
+                        spec,
+                        cache_quant=cache_quant not in (None, "none"),
+                        blocks=params["blocks"])))
     if use_mega and impl.attention != "dense" and cache_quant in (None, "none"):
         cache = dict(cache)
         cache["k"] = cache["k"].reshape(*cache["k"].shape[:3], -1)

@@ -107,6 +107,52 @@ def test_supports_decode_stack_gating():
     assert decode_vmem_bytes(get_spec("llama2-7b"), 8, 128) > (100 << 20)
 
 
+@pytest.mark.parametrize("name", ["gpt2-tiny", "llama-tiny"])
+def test_megakernel_int8_weights_match_scan(name):
+    """INT8 QTensor weights: the megakernel's fused dequant must agree with
+    the scan path's quant_matmul to float tolerance."""
+    from mlio_tpu.runtime.quantization import quantize_params
+
+    spec = get_spec(name)
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_params(params, spec, "int8")
+    B, CACHE = 4, 64
+    cache = init_cache(spec, B, CACHE, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, 7), 0,
+                             spec.vocab_size)
+    logits, cache = forward(qparams, spec, ids, impl=Impl(), cache=cache)
+    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    c_ref, c_mega = dict(cache), dict(cache)
+    for _ in range(3):
+        lr, c_ref = forward(qparams, spec, tok,
+                            impl=Impl(attention="flash",
+                                      decode_stack="scan"), cache=c_ref)
+        lm, c_mega = forward(qparams, spec, tok,
+                             impl=Impl(attention="flash",
+                                       decode_stack="mega"), cache=c_mega)
+        np.testing.assert_allclose(np.asarray(lr, np.float32),
+                                   np.asarray(lm, np.float32),
+                                   rtol=1e-4, atol=1e-4)
+        tok = jnp.argmax(lr[:, -1:], -1).astype(jnp.int32)
+
+
+def test_supports_decode_stack_int8_widens_vmem():
+    """int8 weights halve the streamed bytes, so models that miss the VMEM
+    gate in bf16 can still take the megakernel when quantized."""
+    from mlio_tpu.ops.quant import QTensor
+
+    spec = get_spec("gpt2-tiny")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    from mlio_tpu.runtime.quantization import quantize_params
+
+    q = quantize_params(params, spec, "int8")
+    assert isinstance(q["blocks"]["wq"], QTensor)
+    assert supports_decode_stack(spec, blocks=q["blocks"])
+    # int4 is not handled by the kernel -> falls back to scan
+    q4 = quantize_params(params, spec, "int4")
+    assert not supports_decode_stack(spec, blocks=q4["blocks"])
+
+
 def test_generate_with_sampling_runs_mega():
     """Non-greedy sampling through the mega path stays shape/finite-sane."""
     spec = get_spec("llama-tiny")
