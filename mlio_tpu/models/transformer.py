@@ -384,7 +384,7 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
                 or (impl.decode_stack == "auto"
                     and supports_decode_stack(spec, cache_quant=quant,
                                               blocks=params["blocks"])))
-    if use_mega and not quant:
+    if use_mega:
         # Contiguous-cache decode shares one position across the batch, so
         # the per-step rope table collapses to [1, rope_dim].
         cs = (cos[:1, 0], sin[:1, 0]) if cos is not None else (None, None)
@@ -396,9 +396,25 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
         if not flat_in:
             ck = ck.reshape(*ck.shape[:3], -1)
             cv = cv.reshape(*cv.shape[:3], -1)
-        h, ck, cv = decode_layer_stack(
+        ks = vs = None
+        scales_t = True
+        if quant:
+            from mlio_tpu.ops.decode_layer import pad_scales_for_mega
+
+            ks, vs = cache["k_scale"], cache["v_scale"]
+            # megakernel wants head-major padded [L, B, pad8(Hkv), Smax]
+            # scales; the scan layout is [L, B, Smax, Hkv] (generate()
+            # converts once at the boundary so this is free there)
+            scales_t = (ks.shape[2] == -(-Hkv // 8) * 8
+                        and ks.shape[3] == Smax)
+            if not scales_t:
+                ks = pad_scales_for_mega(ks, Hkv)
+                vs = pad_scales_for_mega(vs, Hkv)
+        out = decode_layer_stack(
             x[:, 0], params["blocks"], ck, cv, cache_pos,
-            cs[0], cs[1], spec=spec, interpret=interp)
+            cs[0], cs[1], spec=spec, k_scales=ks, v_scales=vs,
+            interpret=interp)
+        h, ck, cv = out[:3]
         if not flat_in:
             ck = ck.reshape(L, B, Smax, Hkv, D)
             cv = cv.reshape(L, B, Smax, Hkv, D)
@@ -413,7 +429,16 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
         if spec.logits_softcap is not None:
             logits = spec.logits_softcap * jnp.tanh(
                 logits / spec.logits_softcap)
-        return logits, {"k": ck, "v": cv, "pos": cache_pos + 1}
+        new_cache = {"k": ck, "v": cv, "pos": cache_pos + 1}
+        if quant:
+            from mlio_tpu.ops.decode_layer import unpad_scales_from_mega
+
+            ks, vs = out[3], out[4]
+            if not scales_t:  # restore the caller's scan layout
+                ks = unpad_scales_from_mega(ks, Hkv)
+                vs = unpad_scales_from_mega(vs, Hkv)
+            new_cache["k_scale"], new_cache["v_scale"] = ks, vs
+        return logits, new_cache
 
     def block_fn(carry, inputs):
         x, ck, cv, cks, cvs = carry

@@ -27,10 +27,17 @@ flash_attention_kernels.py:347-684) taken to its TPU-native conclusion —
 the reference fuses one attention layer; here the whole decode stack fuses
 because the grid dimension IS the layer index.
 
+Quantized serving: INT8 projection weights (QTensor) stream at half the
+bytes with per-output-channel dequant fused at each matmul, and the INT8 KV
+cache is handled end-to-end — per-(token, head) dequant fuses into the
+score/PV dots and the current token is quantized in-kernel (matching
+ops.quant.quantize_kv) before the cache write. Scale caches ride transposed
++ sublane-padded ([L, B, pad8(Hkv), Smax]) because a sub-128 minor dim is
+not DMA-sliceable.
+
 Constraints: per-layer weights must fit the VMEM budget (true for
 GPT-2-class models; larger models fall back to the per-op decode path),
-contiguous cache, no KV quant (int8 KV keeps the existing path), sequential
-residual.
+contiguous cache, sequential residual.
 """
 from __future__ import annotations
 
@@ -95,22 +102,49 @@ def _activate(u, g, activation):
 
 
 _NAMES = ["x", "cosq", "sinq", "cosk", "sink", "rotq", "rotk",
-          "expand", "group",
+          "expand", "group", "kvmap",
           "ln1_scale", "ln1_bias", "wq", "sq", "bq", "wk", "sk", "bk",
           "wv", "sv", "bv", "wo", "so", "bo", "ln2_scale", "ln2_bias",
           "w_up", "s_up", "b_up", "w_gate", "s_gate", "b_gate",
           "w_down", "s_down", "b_down",
-          "k_cache", "v_cache"]
+          "k_cache", "v_cache", "ks_cache", "vs_cache"]
+
+
+def _quantize_heads(x, Hkv, D, hkv_pad):
+    """Per-(row, head) symmetric INT8 on a flat [B, Hkv*D] tensor — the
+    in-kernel twin of ops.quant.quantize_kv. Static loop over heads with
+    lane slices (no head-dim reshape). Returns (q int8 flat, scale
+    [B, hkv_pad] (zero-padded heads for sublane tiling), dequant f32
+    flat)."""
+    qs, scs, dqs = [], [], []
+    for h in range(Hkv):
+        sl = x[:, h * D:(h + 1) * D]                          # [B, D] f32
+        amax = jnp.max(jnp.abs(sl), axis=1, keepdims=True)
+        sc = jnp.where(amax == 0, 1.0, amax / 127.0)
+        qh = jnp.clip(jnp.round(sl / sc), -127, 127)
+        qs.append(qh)
+        scs.append(sc)
+        dqs.append(qh * sc)
+    if hkv_pad > Hkv:
+        scs.append(jnp.zeros((x.shape[0], hkv_pad - Hkv), jnp.float32))
+    return (jnp.concatenate(qs, axis=1).astype(jnp.int8),
+            jnp.concatenate(scs, axis=1),
+            jnp.concatenate(dqs, axis=1))
 
 
 def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
                          norm, eps, activation, scale, gated, grouped,
-                         cdtype):
+                         cdtype, kv_quant, Hkv):
     """One grid step == one transformer layer of the decode step."""
     it = iter(refs)
     r = {n: (next(it) if flags[n] else None) for n in _NAMES}
     x_out, k_new, v_new = next(it), next(it), next(it)
-    x_res, kb, vb, sems = next(it), next(it), next(it), next(it)
+    if kv_quant:
+        ks_new, vs_new = next(it), next(it)
+    x_res, kb, vb = next(it), next(it), next(it)
+    if kv_quant:
+        ksb, vsb = next(it), next(it)
+    sems = next(it)
 
     layer = pl.program_id(0)
     pos = pos_ref[0, 0]
@@ -140,8 +174,19 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
     # single-token DMA into the (8,128)-tiled cache is not sliceable from
     # inside the kernel). The attention below keeps the current token IN
     # VMEM, so nothing here depends on the cache being updated yet.
-    k_new[...] = k[None, :, None, :].astype(k_new.dtype)
-    v_new[...] = v[None, :, None, :].astype(v_new.dtype)
+    if kv_quant:
+        # quantize like the cache stores it and attend with the DEQUANTIZED
+        # values so the result matches the scan path bit-for-bit
+        hkv_pad = _pad(Hkv, 8)
+        kq, ksc, k = _quantize_heads(k, Hkv, D, hkv_pad)
+        vq, vsc, v = _quantize_heads(v, Hkv, D, hkv_pad)
+        k_new[...] = kq[None, :, None, :]
+        v_new[...] = vq[None, :, None, :]
+        ks_new[...] = ksc[None, :, :, None].astype(ks_new.dtype)
+        vs_new[...] = vsc[None, :, :, None].astype(vs_new.dtype)
+    else:
+        k_new[...] = k[None, :, None, :].astype(k_new.dtype)
+        v_new[...] = v[None, :, None, :].astype(v_new.dtype)
 
     expand = r["expand"][...]                                 # [Hq, Qd] 0/1
     expf = expand.astype(jnp.float32)
@@ -173,16 +218,26 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
                 preferred_element_type=jnp.float32))(pv_hk)   # [B, Hq, Qd]
         return jnp.sum(pv_hk * expf[None], axis=1)            # [B, Qd]
 
-    def softmax_update(s, m, l, acc, vals):
+    def to_qheads_t(sc_t):
+        """Head-major scales [B, Hkv, T] -> per-q-head [B, T, Hq] (one
+        batched MXU dot; also de-transposes)."""
+        return lax.dot_general(sc_t, r["kvmap"][...].astype(jnp.float32),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+    def softmax_update(s, m, l, acc, vals, p_fold=None):
         """Online-softmax merge of scores s [B, T, Hq] with values
-        vals [B, T, KVd] (bf16) into (m, l, acc)."""
+        vals [B, T, KVd] into (m, l, acc). ``p_fold`` (the per-(token,head)
+        V dequant scales mapped to q heads) multiplies p only inside the
+        P@V contraction."""
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_new))
         p = jnp.exp(s - m_new)
         p = jnp.where(jnp.isneginf(s), 0.0, p)
         l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv_p = p if p_fold is None else p * p_fold
         # PV[b, h, :] = sum_t p[b,t,h] * vals[b,t,:]  (MXU, contract T)
-        pv_hk = lax.dot_general(p.astype(vals.dtype), vals,
+        pv_hk = lax.dot_general(pv_p.astype(vals.dtype), vals,
                                 (((1,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         alpha_lane = jnp.squeeze(lax.dot_general(
@@ -190,6 +245,17 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
             preferred_element_type=jnp.float32), axis=1)      # [B, Qd]
         acc = acc * alpha_lane + pv_select(pv_hk)
         return m_new, l, acc
+
+    if kv_quant:
+        # Scale caches ride TRANSPOSED [L, B, Hkv, Smax] for the mega path
+        # (a [.., Smax, Hkv] layout has a sub-128 minor dim, which Mosaic
+        # cannot DMA-slice); the whole layer slab is tiny, fetch it once.
+        ksd = pltpu.make_async_copy(r["ks_cache"].at[layer], ksb, sems.at[2])
+        vsd = pltpu.make_async_copy(r["vs_cache"].at[layer], vsb, sems.at[3])
+        ksd.start()
+        vsd.start()
+        ksd.wait()
+        vsd.wait()
 
     def block(j, carry):
         m, l, acc = carry
@@ -201,15 +267,24 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
         vr.start()
         kr.wait()
         vr.wait()
-        s = lax.dot_general(kb[...], qmask, (((2,), (1,)), ((0,), (0,))),
+        kbv = kb[...].astype(bf) if kv_quant else kb[...]
+        s = lax.dot_general(kbv, qmask, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
+        p_fold = None
+        if kv_quant:
+            ksc = ksb[:, :, pl.ds(j * bs, bs)]               # [B, Hkv, bs]
+            vsc = vsb[:, :, pl.ds(j * bs, bs)]
+            s = s * to_qheads_t(ksc)      # fused K dequant (post-dot)
+            p_fold = to_qheads_t(vsc)     # fused V dequant (into P@V)
         col = j * bs + lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < ctx, s, NEG_INF)                  # [B, bs, Hq]
-        return softmax_update(s, m, l, acc, vb[...])
+        vals = vb[...].astype(bf) if kv_quant else vb[...]
+        return softmax_update(s, m, l, acc, vals, p_fold)
 
     m, l, acc = lax.fori_loop(0, nb, block, (m0, l0, a0))
 
-    # current token's contribution, straight from VMEM
+    # current token's contribution, straight from VMEM (k/v already hold the
+    # dequantized values in the kv_quant case)
     kf = k.astype(bf)[:, None, :]                             # [B, 1, KVd]
     vf = v.astype(bf)[:, None, :]
     s_cur = lax.dot_general(kf, qmask, (((2,), (1,)), ((0,), (0,))),
@@ -270,8 +345,9 @@ def _weight_itemsize(blocks) -> Optional[int]:
 
 def supports_decode_stack(spec, cache_quant: bool = False,
                           blocks=None) -> bool:
-    """Whether the megakernel path applies (VMEM + feature constraints)."""
-    if cache_quant or spec.parallel_residual:
+    """Whether the megakernel path applies (VMEM + feature constraints).
+    ``cache_quant`` = INT8 KV cache (supported; halves cache block bytes)."""
+    if spec.parallel_residual:
         return False
     if spec.activation not in ("swiglu", "geglu", "gelu", "gelu_new",
                                "gelu_tanh", "relu"):
@@ -279,7 +355,8 @@ def supports_decode_stack(spec, cache_quant: bool = False,
     itemsize = _weight_itemsize(blocks)
     if itemsize is None:
         return False
-    return (decode_vmem_bytes(spec, 8, 128, itemsize)
+    return (decode_vmem_bytes(spec, 8, 128, itemsize,
+                              cache_itemsize=1 if cache_quant else 2)
             < (_VMEM_LIMIT - (12 << 20)))
 
 
@@ -306,6 +383,22 @@ def _rope_consts(spec, cos, sin, heads, dtype):
     return cosf, sinf, rotm
 
 
+def pad_scales_for_mega(sc: jax.Array, Hkv: int) -> jax.Array:
+    """[L, B, Smax, Hkv] scan-layout scales -> the mega path's transposed,
+    sublane-padded [L, B, pad8(Hkv), Smax] layout (done ONCE at the
+    prefill/decode boundary)."""
+    sc = sc.transpose(0, 1, 3, 2)
+    pad = _pad(Hkv, 8) - Hkv
+    if pad:
+        sc = jnp.pad(sc, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return sc
+
+
+def unpad_scales_from_mega(sc: jax.Array, Hkv: int) -> jax.Array:
+    """Inverse of pad_scales_for_mega."""
+    return sc[:, :, :Hkv, :].transpose(0, 1, 3, 2)
+
+
 def decode_layer_stack(
     x: jax.Array,              # [B, H] current-token hidden states
     blocks,                    # stacked per-layer params (transformer layout)
@@ -316,6 +409,8 @@ def decode_layer_stack(
     sin: Optional[jax.Array],
     *,
     spec,
+    k_scales: Optional[jax.Array] = None,  # [L, B, Hkv, Smax] TRANSPOSED
+    v_scales: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     interpret: bool = False,
 ):
@@ -327,7 +422,12 @@ def decode_layer_stack(
     step — the caller flattens ONCE at the prefill/decode boundary instead
     (runtime/generate.py).
 
-    Returns (x_out [B, H], k_cache, v_cache) updated."""
+    With ``k_scales``/``v_scales`` the cache is INT8 per-(token, head)
+    quantized: dequant fuses into the score/PV dots and the current token's
+    K/V are quantized in-kernel before the write (exactly matching
+    ops.quant.quantize_kv so the scan path agrees bit-for-bit).
+
+    Returns (x_out, k_cache, v_cache[, k_scales, v_scales]) updated."""
     B, H = x.shape
     L, _, Smax, KVd = k_cache.shape
     Hq = spec.num_heads
@@ -342,6 +442,7 @@ def decode_layer_stack(
     while Smax % bs:
         bs //= 2
     gated = spec.activation in ("swiglu", "geglu")
+    kv_quant = k_scales is not None
     cdtype = x.dtype  # compute dtype (weights may be int8 QTensors)
     wdtype = cdtype
 
@@ -370,6 +471,9 @@ def decode_layer_stack(
                     == lanes[None, :] % D)).astype(wdtype)    # [KVd, Qd]
     else:
         group = None
+    # padded to sublane granularity; pad rows match no q head -> zeros
+    kvmap = (jnp.arange(_pad(Hkv, 8))[:, None]
+             == jnp.arange(Hq)[None, :] // G).astype(jnp.float32)
     if cos is not None:
         cosq, sinq, rotq = _rope_consts(spec, cos, sin, Hq, wdtype)
         if Hkv != Hq:
@@ -392,6 +496,7 @@ def decode_layer_stack(
         "cosq": cosq, "sinq": sinq, "cosk": cosk, "sink": sink,
         "rotq": rotq, "rotk": rotk,
         "expand": expand, "group": group,
+        "kvmap": kvmap if kv_quant else None,
         "ln1_scale": bp["ln1_scale"], "ln1_bias": bp["ln1_bias"],
         "wq": wq_, "sq": sq_, "bq": bp["bq"],
         "wk": wk_, "sk": sk_, "bk": bp["bk"],
@@ -403,6 +508,8 @@ def decode_layer_stack(
         "b_gate": bp["b_gate"] if gated else None,
         "w_down": wd_, "s_down": sd_, "b_down": bp["b_down"],
         "k_cache": kc, "v_cache": vc,
+        "ks_cache": k_scales if kv_quant else None,
+        "vs_cache": v_scales if kv_quant else None,
     }
     _PER_LAYER = {"ln1_scale", "ln1_bias", "wq", "sq", "bq", "wk", "sk",
                   "bk", "wv", "sv", "bv", "wo", "so", "bo", "ln2_scale",
@@ -427,7 +534,7 @@ def decode_layer_stack(
         flat_idx[n] = idx
         idx += 1
         args.append(v)
-        if n in ("k_cache", "v_cache"):
+        if n in ("k_cache", "v_cache", "ks_cache", "vs_cache"):
             in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         elif n in _PER_LAYER:
             shape = v.shape
@@ -438,38 +545,54 @@ def decode_layer_stack(
             in_specs.append(pl.BlockSpec(
                 v.shape, lambda l, *_, _nd=v.ndim: (0,) * _nd))
 
-    out_specs = (
+    out_specs = [
         pl.BlockSpec(x.shape, lambda l, *_: (0, 0)),
         pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (l, 0, 0, 0)),
         pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (l, 0, 0, 0)),
-    )
-    out_shape = (
+    ]
+    out_shape = [
         jax.ShapeDtypeStruct((B, H), x.dtype),
         jax.ShapeDtypeStruct((L, B, 1, KVd), kc.dtype),
         jax.ShapeDtypeStruct((L, B, 1, KVd), vc.dtype),
-    )
+    ]
+    if kv_quant:
+        hkv_pad = _pad(Hkv, 8)
+        assert k_scales.shape == (L, B, hkv_pad, Smax), (
+            "mega path expects transposed, sublane-padded scale caches "
+            "(use pad_scales_for_mega)")
+        out_specs += [pl.BlockSpec((1, B, hkv_pad, 1),
+                                   lambda l, *_: (l, 0, 0, 0))] * 2
+        out_shape += [jax.ShapeDtypeStruct((L, B, hkv_pad, 1),
+                                           jnp.float32)] * 2
+    out_specs = tuple(out_specs)
+    out_shape = tuple(out_shape)
 
     kernel = functools.partial(
         _decode_stack_kernel, flags=flags, B=B, Hq=Hq, D=D, bs=bs,
         norm=spec.norm, eps=spec.norm_eps, activation=spec.activation,
-        scale=scale, gated=gated, grouped=G > 1, cdtype=cdtype)
+        scale=scale, gated=gated, grouped=G > 1, cdtype=cdtype,
+        kv_quant=kv_quant, Hkv=Hkv)
 
     # pos rides in SMEM as a (1,1) operand — scalar PREFETCH measurably
     # halves pipeline throughput here and no index map needs pos, so a
     # plain grid + SMEM scalar is the right shape.
     pos_spec = pl.BlockSpec((1, 1), lambda l, *_: (0, 0),
                             memory_space=pltpu.SMEM)
-    x_out, k_out, v_out = pl.pallas_call(
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),                      # residual
+        pltpu.VMEM((B, bs, KVd), kc.dtype),                   # k attn block
+        pltpu.VMEM((B, bs, KVd), vc.dtype),                   # v attn block
+    ]
+    if kv_quant:
+        scratch += [pltpu.VMEM((B, _pad(Hkv, 8), Smax), jnp.float32)] * 2
+    scratch.append(pltpu.SemaphoreType.DMA((4 if kv_quant else 2,)))
+
+    outs = pl.pallas_call(
         kernel,
         grid=(L,),
         in_specs=[pos_spec] + in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),                  # residual
-            pltpu.VMEM((B, bs, KVd), kc.dtype),               # k attn block
-            pltpu.VMEM((B, bs, KVd), vc.dtype),               # v attn block
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -479,6 +602,11 @@ def decode_layer_stack(
     )(jnp.asarray(pos, jnp.int32).reshape(1, 1), *args)
     # one token write per STEP (all layers at once) — outside the kernel
     # because a 1-sublane DMA into the tiled cache is not expressible inside
+    x_out, k_out, v_out = outs[:3]
     kc = lax.dynamic_update_slice(kc, k_out, (0, 0, pos, 0))
     vc = lax.dynamic_update_slice(vc, v_out, (0, 0, pos, 0))
+    if kv_quant:
+        ks = lax.dynamic_update_slice(k_scales, outs[3], (0, 0, 0, pos))
+        vs = lax.dynamic_update_slice(v_scales, outs[4], (0, 0, 0, pos))
+        return x_out, kc, vc, ks, vs
     return x_out, kc, vc

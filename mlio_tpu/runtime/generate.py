@@ -57,10 +57,17 @@ def _generate_impl(
                         spec,
                         cache_quant=cache_quant not in (None, "none"),
                         blocks=params["blocks"])))
-    if use_mega and impl.attention != "dense" and cache_quant in (None, "none"):
+    if use_mega and impl.attention != "dense":
         cache = dict(cache)
         cache["k"] = cache["k"].reshape(*cache["k"].shape[:3], -1)
         cache["v"] = cache["v"].reshape(*cache["v"].shape[:3], -1)
+        if "k_scale" in cache:  # mega wants head-major padded scales
+            from mlio_tpu.ops.decode_layer import pad_scales_for_mega
+
+            cache["k_scale"] = pad_scales_for_mega(cache["k_scale"],
+                                                   spec.num_kv_heads)
+            cache["v_scale"] = pad_scales_for_mega(cache["v_scale"],
+                                                   spec.num_kv_heads)
 
     def step(carry, rng_step):
         cache, token = carry

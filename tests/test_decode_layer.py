@@ -98,8 +98,8 @@ def test_generate_auto_routes_through_megakernel():
 def test_supports_decode_stack_gating():
     assert supports_decode_stack(get_spec("gpt2-tiny"))
     assert supports_decode_stack(get_spec("llama-tiny"))
-    # int8 KV cache keeps the per-op path
-    assert not supports_decode_stack(get_spec("gpt2-tiny"), cache_quant=True)
+    # int8 KV cache is handled by the megakernel (fused dequant)
+    assert supports_decode_stack(get_spec("gpt2-tiny"), cache_quant=True)
     # parallel-residual families are out of scope for the megakernel
     assert not supports_decode_stack(get_spec("neox-tiny"))
     # VMEM gate: a 7B-class model's per-layer weights cannot fit
@@ -151,6 +151,60 @@ def test_supports_decode_stack_int8_widens_vmem():
     # int4 is not handled by the kernel -> falls back to scan
     q4 = quantize_params(params, spec, "int4")
     assert not supports_decode_stack(spec, blocks=q4["blocks"])
+
+
+@pytest.mark.parametrize("name", ["gpt2-tiny", "llama-tiny"])
+def test_megakernel_int8_kv_cache_matches_scan(name):
+    """INT8 KV cache through the megakernel: in-kernel per-head quantization
+    must write the same ints/scales as quantize_kv, and the fused dequant
+    must track the scan path to quantization-noise tolerance (RoPE op-order
+    differences can flip an int8 rounding boundary)."""
+    spec = get_spec(name)
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    B, CACHE = 4, 64
+    cache = init_cache(spec, B, CACHE, dtype=jnp.float32, quant="int8")
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, 7), 0,
+                             spec.vocab_size)
+    logits, cache = forward(params, spec, ids,
+                            impl=Impl(attention="flash",
+                                      decode_stack="scan"), cache=cache)
+    tok = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+    c_ref, c_mega = dict(cache), dict(cache)
+    for _ in range(3):
+        lr, c_ref = forward(params, spec, tok,
+                            impl=Impl(attention="flash",
+                                      decode_stack="scan"), cache=c_ref)
+        lm, c_mega = forward(params, spec, tok,
+                             impl=Impl(attention="flash",
+                                       decode_stack="mega"), cache=c_mega)
+        d = float(jnp.max(jnp.abs(lr.astype(jnp.float32)
+                                  - lm.astype(jnp.float32))))
+        dk = int(jnp.max(jnp.abs(c_ref["k"].astype(jnp.int32)
+                                 - c_mega["k"].astype(jnp.int32))))
+        ds = float(jnp.max(jnp.abs(c_ref["k_scale"] - c_mega["k_scale"])))
+        assert d < 2e-2 and dk <= 1 and ds < 1e-4, (d, dk, ds)
+        tok = jnp.argmax(lr[:, -1:], -1).astype(jnp.int32)
+
+
+def test_generate_int8_kv_mega_routes_and_runs():
+    """generate() with cache_quant=int8: the auto path converts the scale
+    caches to the mega layout at the boundary and decodes correctly."""
+    from mlio_tpu.runtime import greedy_generate as _gg
+
+    spec = get_spec("llama-tiny")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ids = jnp.asarray([[5, 3, 2, 6]], jnp.int32)
+    out_scan = generate(params, spec, ids, max_new_tokens=5,
+                        impl=Impl(attention="flash", decode_stack="scan"),
+                        cache_quant="int8",
+                        method=SamplingMethod(temperature=0.0))
+    out_mega = generate(params, spec, ids, max_new_tokens=5,
+                        impl=Impl(attention="flash", decode_stack="mega"),
+                        cache_quant="int8",
+                        method=SamplingMethod(temperature=0.0))
+    # greedy tokens may flip at int8 rounding boundaries; demand >= 4/5 agree
+    agree = np.mean(np.asarray(out_scan) == np.asarray(out_mega))
+    assert agree >= 0.8, (out_scan, out_mega)
 
 
 def test_generate_with_sampling_runs_mega():
