@@ -34,10 +34,15 @@ def _time(fn, warm=1):
 def llama7b_int8():
     from mlio_tpu.models import Impl, get_spec
     from mlio_tpu.runtime import generate
-    from mlio_tpu.runtime.quantization import init_quantized_params
+    from mlio_tpu.runtime.quantization import (
+        fuse_projections,
+        init_quantized_params,
+    )
 
     spec = get_spec("llama2-7b")
-    params = init_quantized_params(spec, jax.random.PRNGKey(0))
+    # fused qkv / up|gate: 3 fewer op launches per layer on the scan path
+    params = fuse_projections(init_quantized_params(spec, jax.random.PRNGKey(0)),
+                              spec)
     B, NEW, CACHE = 8, 64, 1024
     ids = jnp.zeros((B, 8), jnp.int32)
     impl = Impl(attention="flash", norm="fused")
@@ -116,8 +121,50 @@ def ring_65k():
             "vs_baseline": round((flops / dt) / peak, 3)}
 
 
+def latency_4k():
+    """p50 decode latency per token at 4K context (BASELINE headline
+    metric): Llama-2-7B INT8 weights + INT8 KV, batch 1, prefill to ~4K
+    then timed 64-token decode runs; median per-token latency reported.
+    Target: the INT8 roofline step time (weights + 4K KV read per step)."""
+    import statistics
+
+    from mlio_tpu.models import Impl, get_spec
+    from mlio_tpu.runtime import generate
+    from mlio_tpu.runtime.quantization import (
+        fuse_projections,
+        init_quantized_params,
+    )
+
+    spec = get_spec("llama2-7b")
+    params = fuse_projections(
+        init_quantized_params(spec, jax.random.PRNGKey(0)), spec)
+    B, CTX, NEW = 1, 4096, 64
+    ids = jnp.zeros((B, CTX - NEW), jnp.int32)
+    impl = Impl(attention="flash", norm="fused")
+
+    def run():
+        out = generate(params, spec, ids, max_new_tokens=NEW, impl=impl,
+                       cache_len=CTX, cache_quant="int8")
+        return int(out[0, -1])
+
+    run()  # compile
+    per_tok = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        per_tok.append((time.time() - t0) / NEW)
+    p50_ms = statistics.median(per_tok) * 1e3
+    # roofline step: int8 weights once + int8 KV for ~4K ctx
+    wbytes = spec.num_params() * 1  # int8 (lm_head small vs 7B total)
+    kv = 2 * spec.num_layers * B * CTX * spec.kv_dim * 1
+    step_ms = (wbytes + kv) / (HBM_GBPS * 1e9) * 1e3
+    return {"metric": "llama7b_int8_p50_decode_latency_ms_at_4k_ctx",
+            "value": round(p50_ms, 2), "unit": "ms/token",
+            "vs_baseline": round(step_ms / p50_ms, 3)}
+
+
 SCENARIOS = {"llama7b-int8": llama7b_int8, "gpt2-int8": gpt2_int8,
-             "ring-65k": ring_65k}
+             "ring-65k": ring_65k, "latency-4k": latency_4k}
 
 
 def main():

@@ -154,14 +154,53 @@ def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     return x.reshape(B, S, num_heads, -1)
 
 
+def _qkv_proj(h_norm, x, bp, spec, impl):
+    """Project to (q, k, v), flat [B, S, *_dim].
+
+    Three layouts, in priority order: fused LN+QKV Pallas kernel; a single
+    fused ``wqkv`` weight (one big matmul + lane splits — the op-launch
+    optimization for deep scan-path models, see
+    runtime.quantization.fuse_projections); separate wq/wk/wv."""
+    if impl.fused_ln_qkv:
+        return ops.fused_ln_qkv(
+            x, bp["ln1_scale"], bp["ln1_bias"],
+            bp["wq"], bp["bq"], bp["wk"], bp["bk"], bp["wv"], bp["bv"],
+            kind=spec.norm, eps=spec.norm_eps, impl=impl)
+    if bp.get("wqkv") is not None:
+        y = ops.linear(h_norm, bp["wqkv"], bp.get("bqkv"), impl=impl)
+        qd, kvd = spec.q_dim, spec.kv_dim
+        return y[..., :qd], y[..., qd:qd + kvd], y[..., qd + kvd:]
+    q = ops.linear(h_norm, bp["wq"], bp["bq"], impl=impl)
+    k = ops.linear(h_norm, bp["wk"], bp["bk"], impl=impl)
+    v = ops.linear(h_norm, bp["wv"], bp["bv"], impl=impl)
+    return q, k, v
+
+
+def _run_mlp(h, bp, spec, impl):
+    """MLP sublayer; supports the fused [up | gate] projection layout
+    (runtime.quantization.fuse_projections)."""
+    if bp.get("w_upgate") is not None:
+        from mlio_tpu.ops.fused_mlp import _activate
+
+        y = ops.linear(h, bp["w_upgate"], bp.get("b_upgate"), impl=impl)
+        i = spec.intermediate_size
+        if y.shape[-1] == 2 * i:  # gated: [up | gate] halves
+            act = _activate(y[..., :i], y[..., i:], spec.activation)
+        else:
+            act = _activate(y, None, spec.activation)
+        return ops.linear(act.astype(h.dtype), bp["w_down"],
+                          bp["b_down"], impl=impl)
+    return ops.mlp(h, bp["w_up"], bp["w_down"],
+                   b_up=bp["b_up"], b_down=bp["b_down"],
+                   w_gate=bp["w_gate"], b_gate=bp["b_gate"],
+                   activation=spec.activation, impl=impl)
+
+
 def _residual_tail(x, attn_out, h_norm1, bp, spec, impl):
     """Residual combination: sequential (GPT-2/Llama) or parallel
     (GPT-NeoX: x + attn(ln1 x) + mlp(ln2 x); Phi shares one LN for both)."""
     def run_mlp(h):
-        return ops.mlp(h, bp["w_up"], bp["w_down"],
-                       b_up=bp["b_up"], b_down=bp["b_down"],
-                       w_gate=bp["w_gate"], b_gate=bp["b_gate"],
-                       activation=spec.activation, impl=impl)
+        return _run_mlp(h, bp, spec, impl)
 
     if spec.parallel_residual:
         h2 = h_norm1 if spec.shared_ln else ops.norm(
@@ -187,15 +226,7 @@ def run_layer_stack(x: jax.Array, blocks, spec: ModelSpec, impl: Impl,
     def block_fn(x, bp):
         h_norm = ops.norm(x, bp["ln1_scale"], bp["ln1_bias"], kind=spec.norm,
                           eps=spec.norm_eps, impl=impl)
-        if impl.fused_ln_qkv:
-            q, k, v = ops.fused_ln_qkv(
-                x, bp["ln1_scale"], bp["ln1_bias"],
-                bp["wq"], bp["bq"], bp["wk"], bp["bk"], bp["wv"], bp["bv"],
-                kind=spec.norm, eps=spec.norm_eps, impl=impl)
-        else:
-            q = ops.linear(h_norm, bp["wq"], bp["bq"], impl=impl)
-            k = ops.linear(h_norm, bp["wk"], bp["bk"], impl=impl)
-            v = ops.linear(h_norm, bp["wv"], bp["bv"], impl=impl)
+        q, k, v = _qkv_proj(h_norm, x, bp, spec, impl)
         q = _split_heads(q, spec.num_heads)
         k = _split_heads(k, spec.num_kv_heads)
         v = _split_heads(v, spec.num_kv_heads)
@@ -266,15 +297,7 @@ def forward(
         # --- attention sublayer ---
         h_norm = ops.norm(x, bp["ln1_scale"], bp["ln1_bias"], kind=spec.norm,
                           eps=spec.norm_eps, impl=impl)
-        if impl.fused_ln_qkv:
-            q, k, v = ops.fused_ln_qkv(
-                x, bp["ln1_scale"], bp["ln1_bias"],
-                bp["wq"], bp["bq"], bp["wk"], bp["bk"], bp["wv"], bp["bv"],
-                kind=spec.norm, eps=spec.norm_eps, impl=impl)
-        else:
-            q = ops.linear(h_norm, bp["wq"], bp["bq"], impl=impl)
-            k = ops.linear(h_norm, bp["wk"], bp["bk"], impl=impl)
-            v = ops.linear(h_norm, bp["wv"], bp["bv"], impl=impl)
+        q, k, v = _qkv_proj(h_norm, x, bp, spec, impl)
         q = _split_heads(q, spec.num_heads)
         k = _split_heads(k, spec.num_kv_heads)
         v = _split_heads(v, spec.num_kv_heads)
@@ -445,15 +468,7 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
         bp, layer = inputs
         h_norm = ops.norm(x, bp["ln1_scale"], bp["ln1_bias"], kind=spec.norm,
                           eps=spec.norm_eps, impl=impl)
-        if impl.fused_ln_qkv:
-            q, k, v = ops.fused_ln_qkv(
-                x, bp["ln1_scale"], bp["ln1_bias"],
-                bp["wq"], bp["bq"], bp["wk"], bp["bk"], bp["wv"], bp["bv"],
-                kind=spec.norm, eps=spec.norm_eps, impl=impl)
-        else:
-            q = ops.linear(h_norm, bp["wq"], bp["bq"], impl=impl)
-            k = ops.linear(h_norm, bp["wk"], bp["bk"], impl=impl)
-            v = ops.linear(h_norm, bp["wv"], bp["bv"], impl=impl)
+        q, k, v = _qkv_proj(h_norm, x, bp, spec, impl)
         q = _split_heads(q, spec.num_heads)
         k = _split_heads(k, spec.num_kv_heads)
         v = _split_heads(v, spec.num_kv_heads)

@@ -332,14 +332,17 @@ def decode_vmem_bytes(spec, B: int, bs: int, weight_itemsize: int = 2,
 
 def _weight_itemsize(blocks) -> Optional[int]:
     """1 for int8 QTensor weights, 2 for bf16/f16, 4 for f32; None if the
-    weights are quantized in a format the megakernel does not handle."""
+    weights are in a layout the megakernel does not handle (non-int8 quant,
+    or fused wqkv/w_upgate projections)."""
     from mlio_tpu.ops.quant import QTensor
 
-    w = blocks["wq"] if blocks is not None else None
+    if blocks is None:
+        return 2
+    if "wq" not in blocks:  # fused-projection layout -> scan path
+        return None
+    w = blocks["wq"]
     if isinstance(w, QTensor):
         return 1 if w.fmt == "int8" else None
-    if w is None:
-        return 2
     return jnp.dtype(w.dtype).itemsize
 
 

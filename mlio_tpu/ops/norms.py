@@ -67,7 +67,11 @@ def fused_norm(
     has_residual = residual is not None
     has_bias = bias is not None
 
-    bm = min(block_m, _round_up(M, 8))
+    # VMEM-aware row block: in+out blocks are double-buffered, so keep each
+    # at ~2MB or the default 16MB scoped-vmem limit blows at large H
+    # (e.g. 7B prefill: [4096 rows, 4096] bf16 = 32MB per block otherwise).
+    fit = max(8, (2 << 20) // (H * x.dtype.itemsize) // 8 * 8)
+    bm = min(block_m, fit, _round_up(M, 8))
     m_pad = _round_up(M, bm)
     if m_pad != M:
         x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))

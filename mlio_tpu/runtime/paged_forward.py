@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from mlio_tpu import ops
 from mlio_tpu.models.spec import ModelSpec
-from mlio_tpu.models.transformer import Impl, apply_rope, rope_cos_sin, _split_heads
+from mlio_tpu.models.transformer import (Impl, apply_rope, rope_cos_sin,
+                                          _split_heads, _qkv_proj, _run_mlp)
 from mlio_tpu.ops.paged_attention import paged_attention, reshape_and_cache
 
 
@@ -60,9 +61,10 @@ def prefill_paged(
         bp, layer = inputs
         h = ops.norm(x, bp["ln1_scale"], bp["ln1_bias"], kind=spec.norm,
                      eps=spec.norm_eps, impl=impl)
-        q = _split_heads(ops.linear(h, bp["wq"], bp["bq"], impl=impl), spec.num_heads)
-        k = _split_heads(ops.linear(h, bp["wk"], bp["bk"], impl=impl), spec.num_kv_heads)
-        v = _split_heads(ops.linear(h, bp["wv"], bp["bv"], impl=impl), spec.num_kv_heads)
+        qf, kf, vf = _qkv_proj(h, x, bp, spec, impl)
+        q = _split_heads(qf, spec.num_heads)
+        k = _split_heads(kf, spec.num_kv_heads)
+        v = _split_heads(vf, spec.num_kv_heads)
         if cos is not None:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
@@ -74,10 +76,7 @@ def prefill_paged(
                            impl=impl)
         h = ops.norm(x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
                      eps=spec.norm_eps, impl=impl)
-        x = x + ops.mlp(h, bp["w_up"], bp["w_down"], b_up=bp["b_up"],
-                        b_down=bp["b_down"], w_gate=bp["w_gate"],
-                        b_gate=bp["b_gate"], activation=spec.activation,
-                        impl=impl)
+        x = x + _run_mlp(h, bp, spec, impl)
         return (x, k_pool, v_pool), None
 
     (x, k_pool, v_pool), _ = jax.lax.scan(
@@ -124,9 +123,10 @@ def decode_paged(
         bp, layer = inputs
         h = ops.norm(x, bp["ln1_scale"], bp["ln1_bias"], kind=spec.norm,
                      eps=spec.norm_eps, impl=impl)
-        q = _split_heads(ops.linear(h, bp["wq"], bp["bq"], impl=impl), spec.num_heads)
-        k = _split_heads(ops.linear(h, bp["wk"], bp["bk"], impl=impl), spec.num_kv_heads)
-        v = _split_heads(ops.linear(h, bp["wv"], bp["bv"], impl=impl), spec.num_kv_heads)
+        qf, kf, vf = _qkv_proj(h, x, bp, spec, impl)
+        q = _split_heads(qf, spec.num_heads)
+        k = _split_heads(kf, spec.num_kv_heads)
+        v = _split_heads(vf, spec.num_kv_heads)
         if cos is not None:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
@@ -141,10 +141,7 @@ def decode_paged(
                            impl=impl)
         h = ops.norm(x, bp["ln2_scale"], bp["ln2_bias"], kind=spec.norm,
                      eps=spec.norm_eps, impl=impl)
-        x = x + ops.mlp(h, bp["w_up"], bp["w_down"], b_up=bp["b_up"],
-                        b_down=bp["b_down"], w_gate=bp["w_gate"],
-                        b_gate=bp["b_gate"], activation=spec.activation,
-                        impl=impl)
+        x = x + _run_mlp(h, bp, spec, impl)
         return (x, k_pool, v_pool), None
 
     (x, k_pool, v_pool), _ = jax.lax.scan(

@@ -49,6 +49,44 @@ def quantize_params(
     return out
 
 
+def _concat_weights(ws: Sequence[Any]) -> Any:
+    """Concatenate weights (arrays or same-format QTensors) on the out dim."""
+    ws = [w for w in ws if w is not None]
+    if isinstance(ws[0], QTensor):
+        assert all(isinstance(w, QTensor) and w.fmt == ws[0].fmt for w in ws)
+        return QTensor(jnp.concatenate([w.q for w in ws], axis=-1),
+                       jnp.concatenate([w.scale for w in ws], axis=-1),
+                       ws[0].fmt)
+    return jnp.concatenate(ws, axis=-1)
+
+
+def fuse_projections(params: Dict[str, Any], spec: ModelSpec) -> Dict[str, Any]:
+    """Fuse per-layer projections: wq|wk|wv -> wqkv and w_up|w_gate ->
+    w_upgate (one matmul each; outputs split on lanes in the forward).
+
+    Decode on deep scan-path models is op-launch-bound (~10-15us fixed cost
+    per GEMV-shaped op); fusing drops 3 launches per layer. Works on plain
+    arrays and on QTensor (per-output-channel scales concatenate). The
+    fused layout disables the decode megakernel (it streams separate
+    weights), so use this for models too large for the megakernel's VMEM
+    gate — exactly where the op-launch overhead bites."""
+    out = dict(params)
+    blocks = dict(params["blocks"])
+    blocks["wqkv"] = _concat_weights(
+        [blocks.pop("wq"), blocks.pop("wk"), blocks.pop("wv")])
+    bqkv = [blocks.pop(n, None) for n in ("bq", "bk", "bv")]
+    blocks["bqkv"] = (jnp.concatenate([b for b in bqkv], axis=-1)
+                      if all(b is not None for b in bqkv) else None)
+    if blocks.get("w_gate") is not None:
+        blocks["w_upgate"] = _concat_weights(
+            [blocks.pop("w_up"), blocks.pop("w_gate")])
+        b_up, b_gate = blocks.pop("b_up", None), blocks.pop("b_gate", None)
+        blocks["b_upgate"] = (jnp.concatenate([b_up, b_gate], axis=-1)
+                              if b_up is not None and b_gate is not None
+                              else None)
+    return {**out, "blocks": blocks}
+
+
 def init_quantized_params(spec: ModelSpec, key: jax.Array,
                           weights: str = "int8",
                           dtype=jnp.bfloat16) -> Dict[str, Any]:

@@ -133,3 +133,36 @@ def test_init_quantized_params_runs_forward():
     logits, _ = forward(params, spec, ids)
     assert logits.shape == (2, 5, spec.vocab_size)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_fuse_projections_parity():
+    """wqkv / w_upgate fusion: identical greedy outputs, plain and int8."""
+    import numpy as np
+    from mlio_tpu.models import Impl, get_spec, init_params
+    from mlio_tpu.runtime import greedy_generate
+    from mlio_tpu.runtime.quantization import (
+        fuse_projections,
+        quantize_params,
+    )
+
+    for name in ("gpt2-tiny", "llama-tiny"):
+        spec = get_spec(name)
+        params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+        ids = jnp.asarray([[5, 3, 2, 6], [1, 2, 3, 4]], jnp.int32)
+        impl = Impl(attention="flash", decode_stack="scan")
+        base = greedy_generate(params, spec, ids, max_new_tokens=5, impl=impl)
+        fused = fuse_projections(params, spec)
+        assert "wq" not in fused["blocks"] and "wqkv" in fused["blocks"]
+        out = greedy_generate(fused, spec, ids, max_new_tokens=5, impl=impl)
+        assert np.array_equal(np.asarray(base), np.asarray(out)), name
+        qbase = greedy_generate(quantize_params(params, spec, "int8"), spec,
+                                ids, max_new_tokens=5, impl=impl)
+        qfused = fuse_projections(quantize_params(params, spec, "int8"), spec)
+        qout = greedy_generate(qfused, spec, ids, max_new_tokens=5, impl=impl)
+        assert np.array_equal(np.asarray(qbase), np.asarray(qout)), name
+        # fused layout is not megakernel-compatible -> auto falls back
+        from mlio_tpu.ops.decode_layer import supports_decode_stack
+        assert not supports_decode_stack(spec, blocks=fused["blocks"])
+        auto = greedy_generate(fused, spec, ids, max_new_tokens=5,
+                               impl=Impl(attention="flash"))
+        assert np.array_equal(np.asarray(base), np.asarray(auto)), name
