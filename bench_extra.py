@@ -163,8 +163,32 @@ def latency_4k():
             "vs_baseline": round(step_ms / p50_ms, 3)}
 
 
+def flash_65k():
+    """65K-token causal prefill attention through the kv-chunked flash
+    kernel on ONE core (the single-chip fast path for config 4's context
+    length; ring attention remains the multi-chip mechanism)."""
+    from mlio_tpu.ops.flash_attention import flash_attention
+
+    B, S, H, D = 1, 65536, 8, 64
+    q = jnp.ones((B, S, H, D), jnp.bfloat16)
+
+    @jax.jit
+    def run_attn(q):
+        return flash_attention(q, q, q, causal=True).astype(jnp.float32).sum()
+
+    def run():
+        return float(run_attn(q))
+
+    dt = _time(run)
+    flops = 4 * B * H * S * S * D / 2
+    return {"metric": "flash_attention_65k_prefill_tokens_per_sec",
+            "value": round(S / dt, 1), "unit": "tok/s",
+            "vs_baseline": round((flops / dt) / 197e12, 3)}
+
+
 SCENARIOS = {"llama7b-int8": llama7b_int8, "gpt2-int8": gpt2_int8,
-             "ring-65k": ring_65k, "latency-4k": latency_4k}
+             "ring-65k": ring_65k, "flash-65k": flash_65k,
+             "latency-4k": latency_4k}
 
 
 def main():

@@ -34,9 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
-def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, *,
-                      scale: float, block_kv: int, causal: bool, skv: int,
-                      sq: int):
+def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref,
+                      *scratch, scale: float, block_kv: int, causal: bool,
+                      kv_super: int, sq: int, chunked: bool):
     qi = pl.program_id(2)
     bq = q_ref.shape[2]
     D = q_ref.shape[3]
@@ -47,68 +47,111 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref, *,
     qoff = qoff_ref[0]
     q_start = qi * bq  # local start row; absolute = q_start + qoff
 
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, D), jnp.float32)
-
-    num_kv_blocks = pl.cdiv(skv, block_kv)
-    # Trip count: never past kv_len; under causality never past the last
-    # query row's absolute position (causal early-exit, Triton ref :192).
-    limit = jnp.minimum(num_kv_blocks, pl.cdiv(kvlen, block_kv))
+    # Token limit for this q block: never past kv_len; under causality never
+    # past the last query row's absolute position (causal early-exit,
+    # Triton ref :192).
+    tokens = kvlen
     if causal:
-        last_q_abs = q_start + qoff + bq  # exclusive
-        limit = jnp.minimum(limit, pl.cdiv(last_q_abs, block_kv))
-    # Blocks strictly below the causal diagonal and fully inside kv_len need
-    # no masking at all — run them on a lean VPU path (no iota/where).
-    full_limit = kvlen // block_kv
-    if causal:
-        first_q_abs = q_start + qoff
-        full_limit = jnp.minimum(full_limit, first_q_abs // block_kv)
+        tokens = jnp.minimum(tokens, q_start + qoff + bq)
 
-    row_abs = (q_start + qoff
-               + lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0))
+    if chunked:
+        # KV is a 4th sequential grid dim of kv_super-token chunks; (m, l,
+        # acc) live in VMEM scratch across chunk steps. Beyond-limit chunks
+        # are index-clamped (no refetch) and compute-skipped.
+        m_scr, l_scr, acc_scr = scratch
+        kj = pl.program_id(3)
+        n_kv_chunks = pl.num_programs(3)
+        chunk0 = kj * kv_super  # first kv token of this chunk
 
-    def body(j, carry, masked):
-        m, l, acc = carry
-        ks = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :]  # [bkv, D]
-        vs = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :]
-        s = lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [bq, bkv]
+        @pl.when(kj == 0)
+        def _():
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+    else:
+        chunk0 = 0
 
-        if masked:
-            col_abs = j * block_kv + lax.broadcasted_iota(
-                jnp.int32, (bq, block_kv), 1)
-            mask = col_abs < kvlen
-            if causal:
-                mask = jnp.logical_and(mask, row_abs >= col_abs)
-            s = jnp.where(mask, s, NEG_INF)
+    def compute(carry_in):
+        # local (within-chunk) block limits
+        limit = pl.cdiv(jnp.clip(tokens - chunk0, 0, kv_super), block_kv)
+        # blocks strictly below the causal diagonal and fully inside kv_len
+        # need no masking at all — lean VPU path (no iota/where)
+        full_tokens = kvlen
+        if causal:
+            full_tokens = jnp.minimum(full_tokens, q_start + qoff)
+        full_limit = jnp.clip(full_tokens - chunk0, 0, kv_super) // block_kv
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        # Rows that are still fully masked keep m == -inf; exp(-inf - -inf)
-        # would be NaN, so neutralize via a safe m.
-        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
-        alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
-        p = jnp.exp(s - m_safe)
-        if masked:
-            p = jnp.where(mask, p, 0.0)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = lax.dot_general(p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        acc = acc * alpha + pv
-        return m_new, l, acc
+        row_abs = (q_start + qoff
+                   + lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0))
 
-    carry = lax.fori_loop(0, full_limit,
-                          lambda j, c: body(j, c, masked=False),
-                          (m0, l0, acc0))
-    m, l, acc = lax.fori_loop(full_limit, limit,
-                              lambda j, c: body(j, c, masked=True), carry)
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+        def body(j, carry, masked):
+            m, l, acc = carry
+            ks = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :]  # [bkv, D]
+            vs = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :]
+            s = lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+            if masked:
+                col_abs = chunk0 + j * block_kv + lax.broadcasted_iota(
+                    jnp.int32, (bq, block_kv), 1)
+                mask = col_abs < kvlen
+                if causal:
+                    mask = jnp.logical_and(mask, row_abs >= col_abs)
+                s = jnp.where(mask, s, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+            alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
+            p = jnp.exp(s - m_safe)
+            if masked:
+                p = jnp.where(mask, p, 0.0)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = lax.dot_general(p.astype(vs.dtype), vs,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+            acc = acc * alpha + pv
+            return m_new, l, acc
+
+        carry = lax.fori_loop(0, full_limit,
+                              lambda j, c: body(j, c, masked=False),
+                              carry_in)
+        return lax.fori_loop(full_limit, limit,
+                             lambda j, c: body(j, c, masked=True), carry)
+
+    def finish(m, l, acc):
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+
+    if not chunked:
+        # Single-chunk fast path: carries stay in registers, unconditional
+        # output write — no scratch round-trips, no pipeline-serializing
+        # pl.when. This is the decode/prefill path for contexts whose K/V
+        # fit the VMEM budget (13x faster than the chunked form at GPT-2
+        # decode shapes).
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc0 = jnp.zeros((bq, D), jnp.float32)
+        m, l, acc = compute((m0, l0, acc0))
+        finish(m, l, acc)
+        return
+
+    @pl.when(chunk0 < tokens)
+    def _():
+        m, l, acc = compute((m_scr[...], l_scr[...], acc_scr[...]))
+        m_scr[...] = m
+        l_scr[...] = l
+        acc_scr[...] = acc
+
+    @pl.when(kj == n_kv_chunks - 1)
+    def _():
+        finish(m_scr[...], l_scr[...], acc_scr[...])
 
 
 def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
-                          kscale_ref, vscale_ref, o_ref, *, scale: float,
-                          block_kv: int, causal: bool, skv: int, sq: int):
+                          kscale_ref, vscale_ref, o_ref,
+                          *scratch, scale: float,
+                          block_kv: int, causal: bool, kv_super: int,
+                          sq: int, chunked: bool):
     """INT8-KV variant: k/v arrive as int8 with per-(token, head) scales.
 
     Dequantization is algebraically fused into the attention math so the MXU
@@ -128,52 +171,84 @@ def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
     qoff = qoff_ref[0]
     q_start = qi * bq
 
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, D), jnp.float32)
-
-    num_kv_blocks = pl.cdiv(skv, block_kv)
-    limit = jnp.minimum(num_kv_blocks, pl.cdiv(kvlen, block_kv))
+    tokens = kvlen
     if causal:
-        limit = jnp.minimum(limit, pl.cdiv(q_start + qoff + bq, block_kv))
+        tokens = jnp.minimum(tokens, q_start + qoff + bq)
 
-    row_abs = (q_start + qoff
-               + lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0))
+    if chunked:
+        m_scr, l_scr, acc_scr = scratch
+        kj = pl.program_id(3)
+        n_kv_chunks = pl.num_programs(3)
+        chunk0 = kj * kv_super
 
-    def body(j, carry):
-        m, l, acc = carry
-        ks = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :]  # int8 [bkv, D]
-        vs = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :]
-        ksc = kscale_ref[0, 0, :, pl.ds(j * block_kv, block_kv)]  # [1, bkv]
-        vsc = vscale_ref[0, 0, :, pl.ds(j * block_kv, block_kv)]
-        s = lax.dot_general(q, ks.astype(jnp.bfloat16),
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        s = s * ksc.astype(jnp.float32)  # [bq, bkv] * [1, bkv]
+        @pl.when(kj == 0)
+        def _():
+            m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+    else:
+        chunk0 = 0
 
-        col_abs = j * block_kv + lax.broadcasted_iota(
-            jnp.int32, (bq, block_kv), 1)
-        mask = col_abs < kvlen
-        if causal:
-            mask = jnp.logical_and(mask, row_abs >= col_abs)
-        s = jnp.where(mask, s, NEG_INF)
+    def compute(carry_in):
+        limit = pl.cdiv(jnp.clip(tokens - chunk0, 0, kv_super), block_kv)
+        row_abs = (q_start + qoff
+                   + lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0))
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
-        alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
-        p = jnp.exp(s - m_safe)
-        p = jnp.where(mask, p, 0.0)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        p_scaled = (p * vsc.astype(jnp.float32)).astype(jnp.bfloat16)
-        pv = lax.dot_general(p_scaled, vs.astype(jnp.bfloat16),
-                             (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-        acc = acc * alpha + pv
-        return m_new, l, acc
+        def body(j, carry):
+            m, l, acc = carry
+            ks = k_ref[0, 0, pl.ds(j * block_kv, block_kv), :]  # int8
+            vs = v_ref[0, 0, pl.ds(j * block_kv, block_kv), :]
+            ksc = kscale_ref[0, 0, :, pl.ds(j * block_kv, block_kv)]
+            vsc = vscale_ref[0, 0, :, pl.ds(j * block_kv, block_kv)]
+            s = lax.dot_general(q, ks.astype(jnp.bfloat16),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            s = s * ksc.astype(jnp.float32)  # [bq, bkv] * [1, bkv]
 
-    m, l, acc = lax.fori_loop(0, limit, body, (m0, l0, acc0))
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+            col_abs = chunk0 + j * block_kv + lax.broadcasted_iota(
+                jnp.int32, (bq, block_kv), 1)
+            mask = col_abs < kvlen
+            if causal:
+                mask = jnp.logical_and(mask, row_abs >= col_abs)
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+            alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
+            p = jnp.exp(s - m_safe)
+            p = jnp.where(mask, p, 0.0)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            p_scaled = (p * vsc.astype(jnp.float32)).astype(jnp.bfloat16)
+            pv = lax.dot_general(p_scaled, vs.astype(jnp.bfloat16),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+            acc = acc * alpha + pv
+            return m_new, l, acc
+
+        return lax.fori_loop(0, limit, body, carry_in)
+
+    def finish(m, l, acc):
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+
+    if not chunked:
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc0 = jnp.zeros((bq, D), jnp.float32)
+        m, l, acc = compute((m0, l0, acc0))
+        finish(m, l, acc)
+        return
+
+    @pl.when(chunk0 < tokens)
+    def _():
+        m, l, acc = compute((m_scr[...], l_scr[...], acc_scr[...]))
+        m_scr[...] = m
+        l_scr[...] = l
+        acc_scr[...] = acc
+
+    @pl.when(kj == n_kv_chunks - 1)
+    def _():
+        finish(m_scr[...], l_scr[...], acc_scr[...])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -247,12 +322,34 @@ def flash_attention(
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, skv_pad - Skv), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, skv_pad - Skv), (0, 0)))
 
-    grid = (B, Hq, sq_pad // bq)
+    # KV staging: whole-K when it fits a VMEM budget, otherwise the kv
+    # sequence becomes a 4th SEQUENTIAL grid dimension of kv_super-token
+    # chunks with (m, l, acc) carried in scratch — this is what makes 65K+
+    # contexts run on one core (the old whole-K staging blew scoped VMEM at
+    # ~16-32K). Beyond-causal-frontier chunks are index-clamped (consecutive
+    # identical indices skip the refetch) and compute-skipped.
+    kv_budget = 6 << 20
+    kv_super = skv_pad
+    itemsize = kt.dtype.itemsize
+    while 2 * kv_super * _round_up(D, 128) * itemsize > kv_budget \
+            and kv_super > bkv:
+        kv_super = _round_up(kv_super // 2, bkv)
+    n_kv_chunks = skv_pad // kv_super if skv_pad % kv_super == 0 \
+        else -(-skv_pad // kv_super)
+    if skv_pad % kv_super:
+        pad_to = n_kv_chunks * kv_super
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad_to - skv_pad), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad_to - skv_pad), (0, 0)))
+        skv_pad = pad_to
+
+    chunked = n_kv_chunks > 1
     kv_quant = k_scale is not None
     common = dict(
         out_shape=jax.ShapeDtypeStruct((B, Hq, sq_pad, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(("parallel", "parallel", "arbitrary",
+                                  "arbitrary") if chunked else
+                                 ("parallel", "parallel", "arbitrary")),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * Sq * Skv * D,
@@ -262,11 +359,45 @@ def flash_attention(
         ),
         interpret=interpret,
     )
+
     # index maps receive (*grid_indices, *scalar_prefetch_refs)
-    q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
-    kv_spec = pl.BlockSpec((1, 1, skv_pad, D),
-                           lambda b, h, i, *_: (b, h // group, 0, 0))
-    out_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
+    if chunked:
+        grid = (B, Hq, sq_pad // bq, n_kv_chunks)
+
+        def kv_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref):
+            tokens = kvlen_ref[b]
+            if causal:
+                tokens = jnp.minimum(tokens, (i + 1) * bq + qoff_ref[0])
+            last = jnp.maximum(pl.cdiv(tokens, kv_super) - 1, 0)
+            return (b, h // group, jnp.minimum(j, last), 0)
+
+        def sc_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref):
+            bb, hh, jj, _ = kv_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref)
+            return (bb, hh, 0, jj)
+
+        q_spec = pl.BlockSpec((1, 1, bq, D),
+                              lambda b, h, i, j, *_: (b, h, i, 0))
+        out_spec = pl.BlockSpec((1, 1, bq, D),
+                                lambda b, h, i, j, *_: (b, h, i, 0))
+        # (m, l, acc) carried across kv-chunk grid steps
+        scratch = [pltpu.VMEM((bq, 1), jnp.float32),
+                   pltpu.VMEM((bq, 1), jnp.float32),
+                   pltpu.VMEM((bq, D), jnp.float32)]
+    else:
+        grid = (B, Hq, sq_pad // bq)
+
+        def kv_chunk_idx(b, h, i, *_):
+            return (b, h // group, 0, 0)
+
+        def sc_chunk_idx(b, h, i, *_):
+            return (b, h // group, 0, 0)
+
+        q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
+        out_spec = pl.BlockSpec((1, 1, bq, D),
+                                lambda b, h, i, *_: (b, h, i, 0))
+        scratch = []
+
+    kv_spec = pl.BlockSpec((1, 1, kv_super, D), kv_chunk_idx)
 
     if kv_quant:
         # scales [B, Skv, Hkv] -> [B, Hkv, Skv], padded with ones
@@ -285,11 +416,16 @@ def flash_attention(
         # (1, skv_pad) equal to the array's (TPU block tiling rule).
         ksc = ksc[:, :, None, :]
         vsc = vsc[:, :, None, :]
-        sc_spec = pl.BlockSpec((1, 1, 1, skv_pad),
-                               lambda b, h, i, *_: (b, h // group, 0, 0))
+        if ksc.shape[-1] != skv_pad:  # kv_super padding grew the seq dim
+            extra = skv_pad - ksc.shape[-1]
+            ksc = jnp.pad(ksc, ((0, 0), (0, 0), (0, 0), (0, extra)),
+                          constant_values=1.0)
+            vsc = jnp.pad(vsc, ((0, 0), (0, 0), (0, 0), (0, extra)),
+                          constant_values=1.0)
+        sc_spec = pl.BlockSpec((1, 1, 1, kv_super), sc_chunk_idx)
         kernel = functools.partial(
             _flash_fwd_kernel_kvq, scale=scale, block_kv=bkv, causal=causal,
-            skv=skv_pad, sq=Sq)
+            kv_super=kv_super, sq=Sq, chunked=chunked)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -297,13 +433,14 @@ def flash_attention(
                 grid=grid,
                 in_specs=[q_spec, kv_spec, kv_spec, sc_spec, sc_spec],
                 out_specs=out_spec,
+                scratch_shapes=scratch,
             ),
             **common,
         )(kvlen_arr, qoff_arr, qt, kt, vt, ksc, vsc)
     else:
         kernel = functools.partial(
             _flash_fwd_kernel, scale=scale, block_kv=bkv, causal=causal,
-            skv=skv_pad, sq=Sq)
+            kv_super=kv_super, sq=Sq, chunked=chunked)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -311,6 +448,7 @@ def flash_attention(
                 grid=grid,
                 in_specs=[q_spec, kv_spec, kv_spec],
                 out_specs=out_spec,
+                scratch_shapes=scratch,
             ),
             **common,
         )(kvlen_arr, qoff_arr, qt, kt, vt)
