@@ -186,9 +186,55 @@ def flash_65k():
             "vs_baseline": round((flops / dt) / 197e12, 3)}
 
 
+def llama70b_fp8():
+    """BASELINE config 5, per-chip slice: Llama-2-70B FP8 weight-only,
+    tensor-parallel tp=16 (v5e-16 = 2 hosts) — each chip holds heads/16,
+    an MQA KV slice, and intermediate/16 of every layer (~4.3 GB fp8).
+    This measures the per-chip decode step of the sharded deployment; the
+    two per-layer all-reduces ride ICI concurrently with the next layer's
+    weight streaming (estimate via parallel.collectives model). Weights
+    are random — decode bandwidth does not depend on values."""
+    import dataclasses
+
+    from mlio_tpu.models import Impl, get_spec
+    from mlio_tpu.runtime import generate
+    from mlio_tpu.runtime.quantization import (
+        fuse_projections,
+        init_quantized_params,
+    )
+
+    spec = dataclasses.replace(
+        get_spec("llama2-70b"), name="llama2-70b-tp16-shard",
+        num_heads=4, num_kv_heads=1, intermediate_size=28672 // 16,
+        head_dim=128)
+    params = fuse_projections(
+        init_quantized_params(spec, jax.random.PRNGKey(0), weights="fp8"),
+        spec)
+    B, NEW, CACHE = 8, 32, 1024
+    ids = jnp.zeros((B, 8), jnp.int32)
+    impl = Impl(attention="flash", norm="fused")
+
+    def run():
+        out = generate(params, spec, ids, max_new_tokens=NEW, impl=impl,
+                       cache_len=CACHE, cache_quant="int8")
+        return int(out[0, -1])
+
+    dt = _time(run)
+    tok_s = B * NEW / dt
+    h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
+    proj = l * (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
+                + 3 * h * i)  # fp8: 1 B/elem
+    embed = 2 * spec.vocab_size * h * 2
+    kv = B * 2 * l * CACHE * spec.kv_dim  # int8 KV
+    roofline = HBM_GBPS * 1e9 / (proj + embed + kv) * B
+    return {"metric": "llama70b_fp8_tp16_decode_tokens_per_sec_per_chip",
+            "value": round(tok_s, 1), "unit": "tok/s/chip",
+            "vs_baseline": round(tok_s / roofline, 3)}
+
+
 SCENARIOS = {"llama7b-int8": llama7b_int8, "gpt2-int8": gpt2_int8,
              "ring-65k": ring_65k, "flash-65k": flash_65k,
-             "latency-4k": latency_4k}
+             "latency-4k": latency_4k, "llama70b-fp8": llama70b_fp8}
 
 
 def main():

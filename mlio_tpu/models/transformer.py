@@ -39,8 +39,10 @@ class Impl:
     # one Pallas kernel per step (ops/decode_layer.py), "scan" keeps the
     # per-op lax.scan path, "auto" picks mega when the model qualifies.
     decode_stack: str = "auto"
-    block_q: int = 128
-    block_kv: int = 128
+    # None = the kernel's shape-aware heuristic picks (large tiles once the
+    # KV-chunked long-context path engages, smaller ones otherwise).
+    block_q: Optional[int] = None
+    block_kv: Optional[int] = None
     ring_chunk: int = 512
     interpret: Optional[bool] = None  # Pallas interpreter mode (None = auto)
 

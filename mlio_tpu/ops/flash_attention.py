@@ -257,8 +257,8 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_kv", "interpret",
-                     "kv_layout"),
+    static_argnames=("causal", "scale", "block_q", "block_kv",
+                     "kv_vmem_budget", "interpret", "kv_layout"),
 )
 def flash_attention(
     q: jax.Array,
@@ -271,8 +271,9 @@ def flash_attention(
     kv_len=None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
-    block_q: int = 256,
-    block_kv: int = 512,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
+    kv_vmem_budget: int = 6 << 20,
     interpret: bool = False,
     kv_layout: str = "bshd",
 ) -> jax.Array:
@@ -299,6 +300,16 @@ def flash_attention(
 
     # Block-size heuristic (parity: flash_attention_kernels.py:1259-1271):
     # clamp to the sequence, keep MXU/VPU-aligned tiles where possible.
+    # Once KV no longer fits the VMEM budget whole (the chunked long-context
+    # path), larger tiles win: bq=512/bkv=1024 measured 43.5 TF/s vs 25.9 at
+    # 256/512 on 65K causal prefill (v5e) — less KV refetch per query token
+    # and fewer chunk-boundary masked blocks.
+    chunk_needed = (2 * _round_up(Skv, 128) * _round_up(D, 128)
+                    * k.dtype.itemsize > kv_vmem_budget)
+    if block_q is None:
+        block_q = 512 if chunk_needed else 256
+    if block_kv is None:
+        block_kv = 1024 if chunk_needed else 512
     bq = min(block_q, _round_up(Sq, 8))
     bkv = min(block_kv, _round_up(Skv, 128))
 
@@ -328,7 +339,7 @@ def flash_attention(
     # contexts run on one core (the old whole-K staging blew scoped VMEM at
     # ~16-32K). Beyond-causal-frontier chunks are index-clamped (consecutive
     # identical indices skip the refetch) and compute-skipped.
-    kv_budget = 6 << 20
+    kv_budget = kv_vmem_budget
     kv_super = skv_pad
     itemsize = kt.dtype.itemsize
     while 2 * kv_super * _round_up(D, 128) * itemsize > kv_budget \

@@ -44,6 +44,12 @@ def param_specs(spec: ModelSpec) -> Dict[str, Any]:
         "w_up": col, "b_up": bias_col,
         "w_gate": col, "b_gate": bias_col,
         "w_down": row, "b_down": rep2,
+        # fused-projection layout (runtime.quantization.fuse_projections):
+        # concatenated output dims are still column parallel — GSPMD keeps
+        # the logical [.., q|k|v] view, so the forward's lane-offset splits
+        # stay correct on each shard.
+        "wqkv": col, "bqkv": bias_col,
+        "w_upgate": col, "b_upgate": bias_col,
     }
     return {
         "tok_embed": P("tensor", None),
@@ -57,18 +63,47 @@ def param_specs(spec: ModelSpec) -> Dict[str, Any]:
 
 
 def _prune_to(params, specs):
-    """Match the spec tree to the params tree (drop specs for None leaves)."""
+    """Match the spec tree to the params tree (drop specs for None leaves;
+    keys without a rule fall back to replicated)."""
     if isinstance(params, dict):
-        return {k: _prune_to(params[k], specs[k]) for k in params}
+        return {k: _prune_to(params[k],
+                             specs.get(k, P()) if isinstance(specs, dict)
+                             else P())
+                for k in params}
     return None if params is None else specs
 
 
 def shard_params(params, spec: ModelSpec, mesh: Mesh):
-    """Place a parameter pytree onto the mesh with TP shardings."""
+    """Place a parameter pytree onto the mesh with TP shardings.
+
+    Quantized weights (:class:`~mlio_tpu.ops.quant.QTensor` leaves, e.g. the
+    70B-class FP8/INT8 deployment configs) shard like their dense
+    counterparts: the payload [L, K, N] takes the weight's PartitionSpec and
+    the per-output-channel scale [L, N] follows the output dim — sharded
+    under column parallelism, replicated under row parallelism (where N is
+    the unsharded output dim). The reference shards quantized layers by
+    module surgery (tensor_parallel.py:88-330); here the same placement is a
+    pair of device_puts and GSPMD partitions the dequant-matmul.
+    """
+    from mlio_tpu.ops.quant import QTensor
+
     specs = _prune_to(params, param_specs(spec))
+
+    def leaf(x, s):
+        if x is None:
+            return None
+        if isinstance(x, QTensor):
+            # weight spec covers [L, K, N]; scale is [L, N]
+            ax = [s[i] if i < len(s) else None for i in range(3)]
+            q = jax.device_put(x.q, NamedSharding(mesh, s))
+            sc = jax.device_put(
+                x.scale, NamedSharding(mesh, P(ax[0], ax[2])))
+            return QTensor(q, sc, x.fmt)
+        return jax.device_put(x, NamedSharding(mesh, s))
+
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)) if x is not None else None,
-        params, specs, is_leaf=lambda x: x is None)
+        leaf, params, specs,
+        is_leaf=lambda x: x is None or isinstance(x, QTensor))
 
 
 def data_specs() -> Dict[str, Any]:

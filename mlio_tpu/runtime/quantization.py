@@ -97,7 +97,8 @@ def init_quantized_params(spec: ModelSpec, key: jax.Array,
     benchmarking on a single 16GB chip without doubling peak HBM (weight
     values are random; decode speed does not depend on them).
     """
-    assert weights == "int8", "random-quantized init supports int8"
+    assert weights in ("int8", "fp8"), \
+        "random-quantized init supports int8 / fp8"
     spec.validate()
     h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
     qd, kvd = spec.q_dim, spec.kv_dim
@@ -111,10 +112,15 @@ def init_quantized_params(spec: ModelSpec, key: jax.Array,
         return jnp.zeros(shape, dtype)
 
     def qweight(idx, kin, kout):
-        q = jax.random.randint(keys[idx], (l, kin, kout), -127, 128,
-                               dtype=jnp.int8)
         # scale chosen so dequantized weights have ~fan-in init magnitude
         scale = jnp.full((l, kout), (kin ** -0.5) / 64.0, jnp.float32)
+        q = jax.random.randint(keys[idx], (l, kin, kout), -127, 128,
+                               dtype=jnp.int8)
+        if weights == "fp8":
+            # int8 -> e4m3 cast keeps peak HBM at 1 B/element (a normal()
+            # draw would materialize a 4 B/element f32 intermediate — 9.4 GB
+            # for a 70B-class w_up — before the cast).
+            return QTensor(q.astype(jnp.float8_e4m3fn), scale, "fp8")
         return QTensor(q, scale, "int8")
 
     blocks = {

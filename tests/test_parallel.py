@@ -155,3 +155,49 @@ def test_collectives_inside_shard_map():
     np.testing.assert_allclose(np.asarray(rs), x * 8)  # sum of 8 copies, scattered
     np.testing.assert_allclose(np.asarray(b), np.tile(x[3], (8, 1)))
     np.testing.assert_allclose(np.asarray(r), np.roll(x, 1, axis=0))
+
+
+# -- quantized weights under TP (BASELINE config 5: FP8 sharded serving) -----
+
+@pytest.mark.parametrize("fmt", ["int8", "fp8"])
+def test_quantized_tp_matches_unsharded(model, fmt):
+    """QTensor leaves shard like dense weights: payload on the weight's
+    PartitionSpec, per-output-channel scale following the output dim.
+    (Reference shards quantized layers by module surgery,
+    tensor_parallel.py:88-330.)"""
+    from mlio_tpu.runtime.quantization import quantize_params
+
+    spec, params, ids, _ = model
+    qparams = quantize_params(params, spec, fmt)
+    ref, _ = forward(qparams, spec, ids)
+
+    mesh = make_mesh(data=4, tensor=2)
+    sharded = shard_params(qparams, spec, mesh)
+    with mesh:
+        out, _ = jax.jit(lambda p, i: forward(p, spec, i)[0:2])(sharded, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fp8_sharded_continuous_batching():
+    """Config-5 mechanics at test scale: FP8 weight-only quantized model,
+    tensor-sharded over a mesh, served by the continuous-batching engine
+    (70B-class deployment = same code path at bigger shapes)."""
+    from mlio_tpu.runtime.engine import InferenceEngine
+    from mlio_tpu.runtime.quantization import quantize_params
+
+    spec = get_spec("llama-tiny")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_params(params, spec, "fp8")
+    mesh = make_mesh(data=4, tensor=2)
+    sharded = shard_params(qparams, spec, mesh)
+
+    with mesh:
+        eng = InferenceEngine(spec, sharded, max_batch=4, max_seq_len=64,
+                              dtype=jnp.float32)
+        prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9]]
+        outs = eng.run(prompts, max_new_tokens=5)
+    assert len(outs) == 3
+    for o in outs:  # outputs are the GENERATED tokens only
+        assert len(o) == 5
+        assert all(0 <= t < spec.vocab_size for t in o)
