@@ -250,24 +250,58 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
         # Scale caches ride TRANSPOSED [L, B, Hkv, Smax] for the mega path
         # (a [.., Smax, Hkv] layout has a sub-128 minor dim, which Mosaic
         # cannot DMA-slice); the whole layer slab is tiny, fetch it once.
-        ksd = pltpu.make_async_copy(r["ks_cache"].at[layer], ksb, sems.at[2])
-        vsd = pltpu.make_async_copy(r["vs_cache"].at[layer], vsb, sems.at[3])
+        ksd = pltpu.make_async_copy(r["ks_cache"].at[layer], ksb, sems.at[4])
+        vsd = pltpu.make_async_copy(r["vs_cache"].at[layer], vsb, sems.at[5])
         ksd.start()
         vsd.start()
         ksd.wait()
         vsd.wait()
 
+    # Double-buffered cache streaming (bf16 cache): block j+1's K/V DMA is
+    # in flight while block j computes, so the KV read (the dominant
+    # per-layer HBM traffic) is never serialized with the score/PV dots
+    # (+45% measured on the GPT-2 bf16 decode bench). With an INT8 cache the
+    # block DMAs are half the bytes and the single-buffer path measures
+    # faster (the per-iteration slot bookkeeping outweighs the tiny DMA),
+    # so kv_quant keeps one buffer.
+    dbuf = not kv_quant
+
+    def kv_copies(j, slot):
+        kr = pltpu.make_async_copy(
+            r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb.at[slot],
+            sems.at[slot])
+        vr = pltpu.make_async_copy(
+            r["v_cache"].at[layer, :, pl.ds(j * bs, bs)], vb.at[slot],
+            sems.at[2 + slot])
+        return kr, vr
+
+    if dbuf:
+        @pl.when(nb > 0)
+        def _():
+            kr, vr = kv_copies(0, 0)
+            kr.start()
+            vr.start()
+
     def block(j, carry):
         m, l, acc = carry
-        kr = pltpu.make_async_copy(
-            r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb, sems.at[0])
-        vr = pltpu.make_async_copy(
-            r["v_cache"].at[layer, :, pl.ds(j * bs, bs)], vb, sems.at[1])
-        kr.start()
-        vr.start()
+        if dbuf:
+            slot = lax.rem(j, 2)
+
+            @pl.when(j + 1 < nb)
+            def _():
+                kr, vr = kv_copies(j + 1, 1 - slot)
+                kr.start()
+                vr.start()
+
+            kr, vr = kv_copies(j, slot)
+        else:
+            slot = 0
+            kr, vr = kv_copies(j, 0)
+            kr.start()
+            vr.start()
         kr.wait()
         vr.wait()
-        kbv = kb[...].astype(bf) if kv_quant else kb[...]
+        kbv = kb[slot].astype(bf) if kv_quant else kb[slot]
         s = lax.dot_general(kbv, qmask, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
         p_fold = None
@@ -278,7 +312,7 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
             p_fold = to_qheads_t(vsc)     # fused V dequant (into P@V)
         col = j * bs + lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < ctx, s, NEG_INF)                  # [B, bs, Hq]
-        vals = vb[...].astype(bf) if kv_quant else vb[...]
+        vals = vb[slot].astype(bf) if kv_quant else vb[slot]
         return softmax_update(s, m, l, acc, vals, p_fold)
 
     m, l, acc = lax.fori_loop(0, nb, block, (m0, l0, a0))
@@ -321,7 +355,7 @@ def decode_vmem_bytes(spec, B: int, bs: int, weight_itemsize: int = 2,
     gated = spec.activation in ("swiglu", "geglu")
     per_layer = (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
                  + (3 if gated else 2) * h * i) * weight_itemsize
-    attn = 2 * B * bs * _pad(spec.kv_dim, 128) * cache_itemsize
+    attn = 4 * B * bs * _pad(spec.kv_dim, 128) * cache_itemsize  # 2x dbl-buf
     # fp32 block temps: ks/vs/pexp/vfull at [B, bs, Qd]
     temps = 4 * B * bs * _pad(spec.q_dim, 128) * 4
     x_scr = B * _pad(h, 128) * 4
@@ -538,7 +572,7 @@ def decode_layer_stack(
         idx += 1
         args.append(v)
         if n in ("k_cache", "v_cache", "ks_cache", "vs_cache"):
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         elif n in _PER_LAYER:
             shape = v.shape
             in_specs.append(pl.BlockSpec(
@@ -583,12 +617,12 @@ def decode_layer_stack(
                             memory_space=pltpu.SMEM)
     scratch = [
         pltpu.VMEM((B, H), jnp.float32),                      # residual
-        pltpu.VMEM((B, bs, KVd), kc.dtype),                   # k attn block
-        pltpu.VMEM((B, bs, KVd), vc.dtype),                   # v attn block
+        pltpu.VMEM((2, B, bs, KVd), kc.dtype),                # k double-buffer
+        pltpu.VMEM((2, B, bs, KVd), vc.dtype),                # v double-buffer
     ]
     if kv_quant:
         scratch += [pltpu.VMEM((B, _pad(Hkv, 8), Smax), jnp.float32)] * 2
-    scratch.append(pltpu.SemaphoreType.DMA((4 if kv_quant else 2,)))
+    scratch.append(pltpu.SemaphoreType.DMA((6 if kv_quant else 4,)))
 
     outs = pl.pallas_call(
         kernel,

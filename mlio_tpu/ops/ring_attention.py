@@ -145,6 +145,27 @@ def chunked_ring_attention(
     return finalize(m, l, acc, q.dtype)
 
 
+def ring_cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    kv_len=None,
+    chunk_size: int = 512,
+) -> jax.Array:
+    """Cross attention (encoder-decoder: queries attend to a DIFFERENT
+    sequence) with chunked K/V and the exact online merge.
+
+    Parity: RingCrossAttention (/root/reference/kernels/attention/
+    ring_attention.py:413-669). The reference walks k-chunks, concatenates
+    scores, and re-walks value chunks to get a global softmax
+    (:597-660); the (m, l, acc) recurrence here gives the identical result
+    in one pass without materializing the full score row."""
+    return chunked_ring_attention(q, k, v, causal=False, scale=scale,
+                                  kv_len=kv_len, chunk_size=chunk_size)
+
+
 def ring_attention_memory_model(batch, heads, sq, skv, d, world_size,
                                 dtype_bytes=2):
     """Per-device memory model (parity: get_effective_bytes_per_token

@@ -28,8 +28,16 @@ from mlio_tpu.parallel.auto_config import (
     detect_hardware,
 )
 from mlio_tpu.parallel.orchestrator import ParallelOrchestrator, ParallelPlan
+from mlio_tpu.parallel.adaptive import (
+    AdaptiveExecutor,
+    RuntimeMonitor,
+    device_memory_stats,
+)
 
 __all__ = [
+    "AdaptiveExecutor",
+    "RuntimeMonitor",
+    "device_memory_stats",
     "AXES",
     "make_mesh",
     "initialize_multihost",

@@ -201,3 +201,64 @@ def test_fp8_sharded_continuous_batching():
     for o in outs:  # outputs are the GENERATED tokens only
         assert len(o) == 5
         assert all(0 <= t < spec.vocab_size for t in o)
+
+
+# ---------------------------------------------------------------------------
+# Runtime-adaptive executor (parity: RuntimeAdaptiveExecutor
+# orchestrator.py:421-483)
+
+
+def test_adaptive_executor_replans_under_pressure(model):
+    from mlio_tpu.parallel import AdaptiveExecutor, RuntimeMonitor
+
+    spec, params, ids, ref = model
+    # start on a deliberately memory-heavy plan (no tensor sharding)
+    orch = ParallelOrchestrator(ParallelPlan(data=1), spec,
+                                hw=HardwareSpec(num_chips=8))
+    # fake monitor: always report 99% HBM occupancy
+    mon = RuntimeMonitor(stats_fn=lambda: {"fraction": 0.99})
+    ex = AdaptiveExecutor(orch, memory_threshold=0.9, patience=2,
+                          monitor=mon)
+    sharded = orch.shard_params(params)
+    before = ex.orch.plan
+    out = None
+    for _ in range(3):
+        out = ex.step(sharded, orch.shard_inputs(ids))
+    assert ex.adaptations, "sustained pressure must trigger a re-plan"
+    assert ex.adaptations[0]["reason"] == "pressure"
+    assert ex.adaptations[0]["bytes_after"] < ex.adaptations[0]["bytes_before"]
+    assert ex.orch.plan != before
+    # pre-adaptation outputs still match the dense reference
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_adaptive_executor_steady_state_keeps_plan(model):
+    from mlio_tpu.parallel import AdaptiveExecutor, RuntimeMonitor
+
+    spec, params, ids, ref = model
+    orch = ParallelOrchestrator(ParallelPlan(tensor=2, data=4), spec,
+                                hw=HardwareSpec(num_chips=8))
+    mon = RuntimeMonitor(stats_fn=lambda: {"fraction": 0.2})
+    ex = AdaptiveExecutor(orch, monitor=mon)
+    sharded = orch.shard_params(params)
+    x = orch.shard_inputs(ids)
+    for _ in range(4):
+        out = ex.step(sharded, x)
+    assert not ex.adaptations
+    assert ex.monitor.memory_pressure == pytest.approx(0.2)
+    assert ex.monitor.throughput_trend > 0
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_ring_cross_attention_matches_dense():
+    from mlio_tpu.ops.reference import attention_reference
+    from mlio_tpu.ops.ring_attention import ring_cross_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (2, 48, 4, 32), jnp.float32)
+    k = jax.random.normal(ks[1], (2, 200, 4, 32), jnp.float32)
+    v = jax.random.normal(ks[2], (2, 200, 4, 32), jnp.float32)
+    out = ring_cross_attention(q, k, v, chunk_size=64)
+    ref = attention_reference(q, k, v, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
