@@ -34,15 +34,13 @@ def _time(fn, warm=1):
 def llama7b_int8():
     from mlio_tpu.models import Impl, get_spec
     from mlio_tpu.runtime import generate
-    from mlio_tpu.runtime.quantization import (
-        fuse_projections,
-        init_quantized_params,
-    )
+    from mlio_tpu.runtime.quantization import init_quantized_params
 
     spec = get_spec("llama2-7b")
-    # fused qkv / up|gate: 3 fewer op launches per layer on the scan path
-    params = fuse_projections(init_quantized_params(spec, jax.random.PRNGKey(0)),
-                              spec)
+    # unfused projections so the decode router picks the tiled megakernel
+    # (ops/decode_tiled.py): one pallas_call per step beats both the per-op
+    # path and the fused-projection scan path (621 vs 597 tok/s measured)
+    params = init_quantized_params(spec, jax.random.PRNGKey(0))
     B, NEW, CACHE = 8, 64, 1024
     ids = jnp.zeros((B, 8), jnp.int32)
     impl = Impl(attention="flash", norm="fused")

@@ -404,11 +404,70 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
         decode_layer_stack,
         supports_decode_stack,
     )
+    from mlio_tpu.ops.decode_tiled import (
+        choose_tiling,
+        decode_layer_tiled,
+        pad_scales_for_tiled,
+        supports_decode_tiled,
+        unpad_scales_from_tiled,
+    )
+    from mlio_tpu.ops.decode_tiled import _weight_itemsize as _tiled_witem
 
     use_mega = (impl.decode_stack == "mega"
                 or (impl.decode_stack == "auto"
                     and supports_decode_stack(spec, cache_quant=quant,
                                               blocks=params["blocks"])))
+    use_tiled = (not use_mega
+                 and (impl.decode_stack == "tiled"
+                      or (impl.decode_stack == "auto"
+                          and supports_decode_tiled(
+                              spec, B, cache_quant=quant,
+                              blocks=params["blocks"]))))
+    if use_tiled:
+        # Big-model megakernel: same contract, chunk-streamed weights.
+        cs = (cos[:1, 0], sin[:1, 0]) if cos is not None else (None, None)
+        ck, cv = cache["k"], cache["v"]
+        flat_in = ck.ndim == 4
+        if not flat_in:
+            ck = ck.reshape(*ck.shape[:3], -1)
+            cv = cv.reshape(*cv.shape[:3], -1)
+        tiling = choose_tiling(spec, B, _tiled_witem(params["blocks"]) or 2,
+                               1 if quant else 2)
+        ks = vs = None
+        scales_t = True
+        if quant:
+            ks, vs = cache["k_scale"], cache["v_scale"]
+            scales_t = ks.ndim == 5
+            if not scales_t:
+                ks = pad_scales_for_tiled(ks, Hkv, tiling.ka)
+                vs = pad_scales_for_tiled(vs, Hkv, tiling.ka)
+        out = decode_layer_tiled(
+            x[:, 0], params["blocks"], ck, cv, cache_pos,
+            cs[0], cs[1], spec=spec, k_scales=ks, v_scales=vs,
+            tiling=tiling, interpret=interp)
+        h, ck, cv = out[:3]
+        if not flat_in:
+            ck = ck.reshape(L, B, Smax, Hkv, D)
+            cv = cv.reshape(L, B, Smax, Hkv, D)
+        x = h[:, None, :].astype(x.dtype)
+        x = ops.norm(x, params["final_scale"], params["final_bias"],
+                     kind=spec.norm, eps=spec.norm_eps, impl=impl)
+        if params["lm_head"] is not None:
+            logits = ops.linear(x, params["lm_head"],
+                                params.get("lm_head_bias"), impl=impl)
+        else:
+            logits = x @ params["tok_embed"].T.astype(x.dtype)
+        if spec.logits_softcap is not None:
+            logits = spec.logits_softcap * jnp.tanh(
+                logits / spec.logits_softcap)
+        new_cache = {"k": ck, "v": cv, "pos": cache_pos + 1}
+        if quant:
+            ks, vs = out[3], out[4]
+            if not scales_t:
+                ks = unpad_scales_from_tiled(ks, Hkv)
+                vs = unpad_scales_from_tiled(vs, Hkv)
+            new_cache["k_scale"], new_cache["v_scale"] = ks, vs
+        return logits, new_cache
     if use_mega:
         # Contiguous-cache decode shares one position across the batch, so
         # the per-step rope table collapses to [1, rope_dim].

@@ -1,0 +1,669 @@
+"""Tiled decode megakernel: whole-layer-stack decode for models whose
+per-layer weights do NOT fit VMEM (7B/70B-class).
+
+The small-model megakernel (ops/decode_layer.py) streams each layer's full
+weight set through VMEM via a grid=(num_layers,) pipeline. For a 7B-class
+layer (~200 MB int8) that is impossible, so the big-model decode previously
+fell back to per-op XLA dispatch: ~15 ops x num_layers per token, each with
+~10-15us fixed cost, leaving B=1 decode at ~40% of the weight-streaming
+roofline (latency-bound, not bandwidth-bound).
+
+This kernel keeps ONE pallas_call per decode step with grid
+``(num_layers, Ka + Km)``:
+
+  * phases 0..Ka-1 — attention, tiled by **query-head group**: each phase
+    streams the [h, Hg*D] column slices of Wq/Wk/Wv and the [Hg*D, h] row
+    slice of Wo, computes that group's q/k/v (+RoPE, +KV-cache write),
+    runs blockwise attention over the cache's lane slice for the group
+    (head groups are independent in attention), and accumulates the
+    group's out-projection partial sum into a VMEM accumulator.
+  * phase Ka — fold: residual += o_acc, compute norm2 into the hidden
+    scratch, zero the accumulator (then falls through to the first MLP
+    chunk in the same phase).
+  * phases Ka..Ka+Km-1 — MLP, tiled by **intermediate chunk**: stream
+    [h, ic] slices of W_up/W_gate and the [ic, h] slice of W_down,
+    activate, accumulate partial down-projections. The final chunk's
+    out-of-range lanes (intermediate % ic != 0) are masked in-kernel, so
+    no host-side weight padding is needed.
+
+Each weight chunk is DMA'd exactly once per layer (Pallas only re-fetches
+a block when its index map changes; parked operands repeat their last
+index), so HBM traffic is the same as the theoretical minimum while the
+grid pipeline overlaps every chunk's DMA with the previous chunk's compute.
+
+Layout rules follow decode_layer.py: flat [L, B, Smax, Hkv*D] cache, no
+lane-splitting reshapes, per-head structure via constant 0/1 matrices on
+the MXU, INT8 weights dequantized per-output-channel at each matmul, INT8
+KV dequant fused into the score/PV dots. INT8 KV scales ride in a
+group-major padded layout [L, B, Ka, 8, Smax] so each phase can DMA its
+group's slab with leading-dim (always-legal) slicing.
+
+Capability parity: same surface as ops/decode_layer.py (the reference's
+fully-fused attention taken to the whole stack,
+/root/reference/kernels/triton/flash_attention_kernels.py:347-684), extended
+to arbitrarily large layers.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mlio_tpu.ops.decode_layer import (
+    _activate,
+    _norm,
+    _pad,
+    _quantize_heads,
+    _rope_consts,
+)
+
+NEG_INF = float("-inf")
+_VMEM_LIMIT = 110 << 20
+_SCRATCH_HEADROOM = 10 << 20
+
+
+class Tiling(NamedTuple):
+    hg: int    # q heads per attention phase
+    ic: int    # intermediate lanes per MLP phase
+    ka: int    # number of attention phases
+    km: int    # number of MLP phases
+
+
+def choose_tiling(spec, B: int, weight_itemsize: int = 1,
+                  cache_itemsize: int = 2,
+                  vmem_budget: int = _VMEM_LIMIT - _SCRATCH_HEADROOM,
+                  ) -> Optional[Tiling]:
+    """Pick (head-group, intermediate-chunk) sizes that fit the VMEM budget.
+
+    All seven weight operands hold double-buffered blocks for the whole
+    kernel (Pallas allocates per-operand buffers once), so the constraint is
+    2*(attn chunk) + 2*(mlp chunk) + cache buffers + scratch <= budget.
+    """
+    h, I = spec.hidden_size, spec.intermediate_size
+    Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_size
+    gated = spec.activation in ("swiglu", "geglu")
+    n_up = 3 if gated else 2
+
+    scratch = 3 * B * _pad(h, 128) * 4 + (2 << 20)  # x_res/h/acc + consts
+    best = None
+    for ka in (1, 2, 4, 8, 16):
+        if Hq % ka or Hkv % ka:
+            # kv heads must split evenly into the same number of groups
+            continue
+        hg = Hq // ka
+        hkvg = Hkv // ka
+        if ka > 1 and ((hg * D) % 128 or (hkvg * D) % 128):
+            # cache lane slices must be 128-aligned (ka==1 slices full width)
+            continue
+        attn = (h * hg * D + 2 * h * hkvg * D + hg * D * h) * weight_itemsize
+        cache_bufs = 2 * 2 * B * 128 * hkvg * D * cache_itemsize  # dbl-buf
+        room = vmem_budget - 2 * attn - cache_bufs - scratch
+        if room <= 0:
+            continue
+        ic = min(_pad(I, 128), (room // 2) // (n_up * h * weight_itemsize)
+                 // 128 * 128)
+        if ic < 128:
+            continue
+        km = -(-I // ic)
+        cand = Tiling(hg=hg, ic=ic, ka=ka, km=km)
+        # prefer the fewest total phases (least per-phase overhead)
+        if best is None or (cand.ka + cand.km) < (best.ka + best.km):
+            best = cand
+    return best
+
+
+def _weight_itemsize(blocks) -> Optional[int]:
+    from mlio_tpu.ops.quant import QTensor
+
+    if blocks is None:
+        return 2
+    if "wq" not in blocks:  # fused-projection layout unsupported here
+        return None
+    w = blocks["wq"]
+    if isinstance(w, QTensor):
+        return 1 if w.fmt in ("int8", "fp8") else None
+    return jnp.dtype(w.dtype).itemsize
+
+
+def supports_decode_tiled(spec, B: int = 8, cache_quant: bool = False,
+                          blocks=None) -> bool:
+    """Whether the tiled megakernel applies to this model/layout."""
+    if spec.parallel_residual:
+        return False
+    if spec.activation not in ("swiglu", "geglu", "gelu", "gelu_new",
+                               "gelu_tanh", "relu"):
+        return False
+    itemsize = _weight_itemsize(blocks)
+    if itemsize is None:
+        return False
+    if spec.head_size % 128 and (spec.num_heads * spec.head_size) % 128:
+        return False
+    return choose_tiling(spec, B, itemsize,
+                         1 if cache_quant else 2) is not None
+
+
+# ---------------------------------------------------------------------------
+# Scale-cache layout for the tiled path
+
+
+def pad_scales_for_tiled(sc: jax.Array, Hkv: int, ka: int) -> jax.Array:
+    """Scan-layout scales [L, B, Smax, Hkv] -> group-major padded
+    [L, B, Ka, pad8(Hkv/Ka), Smax] (one-time conversion at the prefill
+    boundary). Each group's sub-slab is 8-sublane padded so a leading-dim
+    DMA slice is always legal."""
+    L, B, Smax, _ = sc.shape
+    hkvg = Hkv // ka
+    sc = sc.transpose(0, 1, 3, 2).reshape(L, B, ka, hkvg, Smax)
+    pad = _pad(hkvg, 8) - hkvg
+    if pad:
+        sc = jnp.pad(sc, ((0, 0),) * 3 + ((0, pad), (0, 0)))
+    return sc
+
+
+def unpad_scales_from_tiled(sc: jax.Array, Hkv: int) -> jax.Array:
+    """Inverse of pad_scales_for_tiled -> [L, B, Smax, Hkv]."""
+    L, B, ka, _, Smax = sc.shape
+    hkvg = Hkv // ka
+    return (sc[:, :, :, :hkvg, :].reshape(L, B, Hkv, Smax)
+            .transpose(0, 1, 3, 2))
+
+
+_NAMES = ["x", "cosq", "sinq", "cosk", "sink", "rotq", "rotk",
+          "expand", "group", "kvmap",
+          "ln1_scale", "ln1_bias", "wq", "sq", "bq", "wk", "sk", "bk",
+          "wv", "sv", "bv", "wo", "so", "bo", "ln2_scale", "ln2_bias",
+          "w_up", "s_up", "b_up", "w_gate", "s_gate", "b_gate",
+          "w_down", "s_down", "b_down",
+          "k_cache", "v_cache", "ks_cache", "vs_cache"]
+
+
+def _mmc(h16, w_ref, b_ref, s_ref):
+    """x @ chunk (+bias, int8 per-channel dequant fused); refs are the
+    current phase's weight chunk blocks."""
+    w = w_ref[0]
+    if s_ref is not None:
+        w = w.astype(h16.dtype)
+    y = jnp.dot(h16, w, preferred_element_type=jnp.float32)
+    if s_ref is not None:
+        y = y * s_ref[0].astype(jnp.float32)
+    if b_ref is not None:
+        y = y + b_ref[0].astype(jnp.float32)
+    return y
+
+
+def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
+                  norm, eps, activation, scale, gated, grouped,
+                  cdtype, kv_quant, hkvg):
+    it = iter(refs)
+    r = {n: (next(it) if flags[n] else None) for n in _NAMES}
+    x_out, k_new, v_new = next(it), next(it), next(it)
+    if kv_quant:
+        ks_new, vs_new = next(it), next(it)
+    x_res, h_scr, acc_scr, kb, vb = (next(it), next(it), next(it),
+                                     next(it), next(it))
+    if kv_quant:
+        ksb, vsb = next(it), next(it)
+    sems = next(it)
+
+    layer = pl.program_id(0)
+    s_idx = pl.program_id(1)
+    pos = pos_ref[0, 0]
+    Hg, ic, Ka, Km = tiling
+    Qg = Hg * D
+    KVg = hkvg * D
+    hkvp = _pad(hkvg, 8)
+
+    @pl.when((layer == 0) & (s_idx == 0))
+    def _():
+        x_res[...] = r["x"][...].astype(jnp.float32)
+
+    @pl.when(s_idx == 0)
+    def _():
+        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+        h_scr[...] = _norm(x_res[...], r["ln1_scale"], r["ln1_bias"],
+                           norm, eps).astype(h_scr.dtype)
+
+    # ---- attention phase: one query-head group -----------------------------
+    @pl.when(s_idx < Ka)
+    def _attn():
+        g = s_idx
+        h16 = h_scr[...]
+        q = _mmc(h16, r["wq"], r["bq"], r["sq"])              # [B, Qg] f32
+        k = _mmc(h16, r["wk"], r["bk"], r["sk"])              # [B, KVg]
+        v = _mmc(h16, r["wv"], r["bv"], r["sv"])
+        if r["rotq"] is not None:
+            q = (q * r["cosq"][...].astype(jnp.float32)
+                 + jnp.dot(q, r["rotq"][...].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+                 * r["sinq"][...].astype(jnp.float32))
+            k = (k * r["cosk"][...].astype(jnp.float32)
+                 + jnp.dot(k, r["rotk"][...].astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+                 * r["sink"][...].astype(jnp.float32))
+
+        if kv_quant:
+            kq, ksc, k_dq = _quantize_heads(k, hkvg, D, hkvp)
+            vq, vsc, v_dq = _quantize_heads(v, hkvg, D, hkvp)
+            k_new[...] = kq[None, :, None, :]
+            v_new[...] = vq[None, :, None, :]
+            # scale out block is (1, B, hkvp, 1) over [L, B, Ka*hkvp, 1]
+            ks_new[...] = ksc[None, :, :, None].astype(ks_new.dtype)
+            vs_new[...] = vsc[None, :, :, None].astype(vs_new.dtype)
+            k, v = k_dq, v_dq
+        else:
+            k_new[...] = k[None, :, None, :].astype(k_new.dtype)
+            v_new[...] = v[None, :, None, :].astype(v_new.dtype)
+
+        expand = r["expand"][...]                             # [Hg, Qg] 0/1
+        expf = expand.astype(jnp.float32)
+        bf = cdtype
+        qs = q * scale
+        qmask = qs[:, :, None] * expand.T[None].astype(jnp.float32)
+        if grouped:
+            qmask = jax.vmap(lambda a: jnp.dot(
+                r["group"][...].astype(jnp.float32), a,
+                preferred_element_type=jnp.float32))(qmask)   # [B, KVg, Hg]
+        qmask = qmask.astype(bf)
+
+        ctx = pos
+        nb = (ctx + bs - 1) // bs
+        m0 = jnp.full((B, 1, Hg), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((B, 1, Hg), jnp.float32)
+        a0 = jnp.zeros((B, Qg), jnp.float32)
+
+        def pv_select(pv_hk):
+            if grouped:
+                pv_hk = jax.vmap(lambda a: jnp.dot(
+                    a, r["group"][...].astype(jnp.float32),
+                    preferred_element_type=jnp.float32))(pv_hk)
+            return jnp.sum(pv_hk * expf[None], axis=1)        # [B, Qg]
+
+        def to_qheads_t(sc_t):
+            return lax.dot_general(sc_t, r["kvmap"][...].astype(jnp.float32),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+        def softmax_update(s, m, l, acc, vals, p_fold=None):
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_new))
+            p = jnp.exp(s - m_new)
+            p = jnp.where(jnp.isneginf(s), 0.0, p)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv_p = p if p_fold is None else p * p_fold
+            pv_hk = lax.dot_general(pv_p.astype(vals.dtype), vals,
+                                    (((1,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            alpha_lane = jnp.squeeze(lax.dot_general(
+                alpha, expf, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32), axis=1)
+            acc = acc * alpha_lane + pv_select(pv_hk)
+            return m_new, l, acc
+
+        if kv_quant:
+            ksd = pltpu.make_async_copy(r["ks_cache"].at[layer, :, g], ksb,
+                                        sems.at[4])
+            vsd = pltpu.make_async_copy(r["vs_cache"].at[layer, :, g], vsb,
+                                        sems.at[5])
+            ksd.start()
+            vsd.start()
+            ksd.wait()
+            vsd.wait()
+
+        def kv_copies(j, slot):
+            kr = pltpu.make_async_copy(
+                r["k_cache"].at[layer, :, pl.ds(j * bs, bs),
+                                pl.ds(g * KVg, KVg)], kb.at[slot],
+                sems.at[slot])
+            vr = pltpu.make_async_copy(
+                r["v_cache"].at[layer, :, pl.ds(j * bs, bs),
+                                pl.ds(g * KVg, KVg)], vb.at[slot],
+                sems.at[2 + slot])
+            return kr, vr
+
+        dbuf = not kv_quant
+        if dbuf:
+            @pl.when(nb > 0)
+            def _():
+                kr, vr = kv_copies(0, 0)
+                kr.start()
+                vr.start()
+
+        def block(j, carry):
+            m, l, acc = carry
+            if dbuf:
+                slot = lax.rem(j, 2)
+
+                @pl.when(j + 1 < nb)
+                def _():
+                    kr, vr = kv_copies(j + 1, 1 - slot)
+                    kr.start()
+                    vr.start()
+
+                kr, vr = kv_copies(j, slot)
+            else:
+                slot = 0
+                kr, vr = kv_copies(j, 0)
+                kr.start()
+                vr.start()
+            kr.wait()
+            vr.wait()
+            kbv = kb[slot].astype(bf) if kv_quant else kb[slot]
+            s = lax.dot_general(kbv, qmask, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+            p_fold = None
+            if kv_quant:
+                s = s * to_qheads_t(ksb[:, :, pl.ds(j * bs, bs)])
+                p_fold = to_qheads_t(vsb[:, :, pl.ds(j * bs, bs)])
+            col = j * bs + lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < ctx, s, NEG_INF)
+            vals = vb[slot].astype(bf) if kv_quant else vb[slot]
+            return softmax_update(s, m, l, acc, vals, p_fold)
+
+        m, l, acc = lax.fori_loop(0, nb, block, (m0, l0, a0))
+
+        kf = k.astype(bf)[:, None, :]
+        vf = v.astype(bf)[:, None, :]
+        s_cur = lax.dot_general(kf, qmask, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        m, l, acc = softmax_update(s_cur, m, l, acc, vf)
+
+        l_lane = jnp.squeeze(lax.dot_general(
+            l, expf, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), axis=1)
+        l_safe = jnp.where(l_lane == 0.0, 1.0, l_lane)
+        attn = (acc / l_safe).astype(cdtype)                  # [B, Qg]
+
+        # bo (whole-output bias) is added once at the fold phase, not per
+        # group partial-sum
+        o = _mmc(attn, r["wo"], None, r["so"])
+        acc_scr[...] = acc_scr[...] + o
+
+    # ---- fold attention result, switch hidden scratch to norm2 -------------
+    @pl.when(s_idx == Ka)
+    def _():
+        x32 = x_res[...] + acc_scr[...]
+        if r["bo"] is not None:
+            x32 = x32 + r["bo"][0].astype(jnp.float32)
+        x_res[...] = x32
+        h_scr[...] = _norm(x32, r["ln2_scale"], r["ln2_bias"],
+                           norm, eps).astype(h_scr.dtype)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # ---- MLP phase: one intermediate chunk ----------------------------------
+    @pl.when(s_idx >= Ka)
+    def _mlp():
+        kk = s_idx - Ka
+        h16 = h_scr[...]
+        u = _mmc(h16, r["w_up"], r["b_up"], r["s_up"])        # [B, ic] f32
+        # mask lanes beyond the true intermediate width (last chunk)
+        col = kk * ic + lax.broadcasted_iota(jnp.int32, u.shape, 1)
+        valid = col < I_total
+        u = jnp.where(valid, u, 0.0)
+        if gated:
+            gt = _mmc(h16, r["w_gate"], r["b_gate"], r["s_gate"])
+            gt = jnp.where(valid, gt, 0.0)
+        else:
+            gt = None
+        act = _activate(u, gt, activation).astype(cdtype)
+        wd = r["w_down"][0]
+        # zero garbage rows of the edge block (unspecified padding may be
+        # non-finite; 0 * NaN would poison the matmul)
+        row = kk * ic + lax.broadcasted_iota(jnp.int32, wd.shape, 0)
+        wd = jnp.where(row < I_total, wd, 0)
+        if r["s_down"] is not None:
+            wd = wd.astype(cdtype)
+        d = jnp.dot(act, wd, preferred_element_type=jnp.float32)
+        if r["s_down"] is not None:
+            d = d * r["s_down"][0].astype(jnp.float32)
+        acc_scr[...] = acc_scr[...] + d
+
+    # ---- final fold ----------------------------------------------------------
+    @pl.when(s_idx == Ka + Km - 1)
+    def _():
+        x32 = x_res[...] + acc_scr[...]
+        if r["b_down"] is not None:
+            x32 = x32 + r["b_down"][0].astype(jnp.float32)
+        x_res[...] = x32
+
+        @pl.when(layer == pl.num_programs(0) - 1)
+        def _():
+            x_out[...] = x32.astype(x_out.dtype)
+
+
+def decode_layer_tiled(
+    x: jax.Array,              # [B, H]
+    blocks,                    # stacked per-layer params, UNfused layout
+    k_cache: jax.Array,        # [L, B, Smax, Hkv*D] flat
+    v_cache: jax.Array,
+    pos,
+    cos: Optional[jax.Array],
+    sin: Optional[jax.Array],
+    *,
+    spec,
+    k_scales: Optional[jax.Array] = None,  # [L, B, Ka, 8, Smax] grouped
+    v_scales: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    tiling: Optional[Tiling] = None,
+    interpret: bool = False,
+):
+    """One decode step for ALL layers with weight-chunk streaming.
+
+    Same contract as ops.decode_layer.decode_layer_stack but for models
+    whose per-layer weights exceed VMEM. INT8 KV scales must arrive in the
+    tiled group-major layout (pad_scales_for_tiled).
+    Returns (x_out, k_cache, v_cache[, k_scales, v_scales])."""
+    from mlio_tpu.ops.quant import QTensor
+
+    B, H = x.shape
+    L, _, Smax, KVd = k_cache.shape
+    Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_size
+    kv_quant = k_scales is not None
+    cdtype = x.dtype
+    if scale is None:
+        scale = D ** -0.5
+    if tiling is None:
+        tiling = choose_tiling(spec, B, _weight_itemsize(blocks) or 2,
+                               1 if kv_quant else 2)
+    assert tiling is not None, "no VMEM-feasible tiling for this model"
+    Hg, ic, Ka, Km = tiling
+    hkvg = Hkv // Ka
+    Qg, KVg = Hg * D, hkvg * D
+    G = Hq // Hkv
+    gated = spec.activation in ("swiglu", "geglu")
+    bs = 128 if Smax % 128 == 0 else 64
+    while Smax % bs:
+        bs //= 2
+    wdtype = cdtype
+
+    def wq_pair(name):
+        w = blocks.get(name)
+        if isinstance(w, QTensor):
+            assert w.fmt in ("int8", "fp8"), \
+                "tiled megakernel handles int8/fp8 weight quant only"
+            return w.q, w.scale.astype(jnp.float32)[:, None, :]
+        return w, None
+
+    # constant head-structure matrices (group-local; identical every group)
+    lanes = jnp.arange(Qg)
+    expand = (lanes[None, :] // D
+              == jnp.arange(Hg)[:, None]).astype(wdtype)      # [Hg, Qg]
+    if G > 1:
+        kv_lane = jnp.arange(KVg)
+        group = ((kv_lane[:, None] // D == (lanes[None, :] // D) // G)
+                 & (kv_lane[:, None] % D
+                    == lanes[None, :] % D)).astype(wdtype)    # [KVg, Qg]
+    else:
+        group = None
+    kvmap = (jnp.arange(_pad(hkvg, 8))[:, None]
+             == jnp.arange(Hg)[None, :] // G).astype(jnp.float32)
+    if cos is not None:
+        cosq, sinq, rotq = _rope_consts(spec, cos, sin, Hg, wdtype)
+        if hkvg != Hg:
+            cosk, sink, rotk = _rope_consts(spec, cos, sin, hkvg, wdtype)
+        else:
+            cosk, sink, rotk = cosq, sinq, rotq
+    else:
+        cosq = sinq = rotq = cosk = sink = rotk = None
+
+    bp = blocks
+    wq_, sq_ = wq_pair("wq")
+    wk_, sk_ = wq_pair("wk")
+    wv_, sv_ = wq_pair("wv")
+    wo_, so_ = wq_pair("wo")
+    wu_, su_ = wq_pair("w_up")
+    wg_, sg_ = wq_pair("w_gate") if gated else (None, None)
+    wd_, sd_ = wq_pair("w_down")
+    operands = {
+        "x": x,
+        "cosq": cosq, "sinq": sinq, "cosk": cosk, "sink": sink,
+        "rotq": rotq, "rotk": rotk,
+        "expand": expand, "group": group,
+        "kvmap": kvmap if kv_quant else None,
+        "ln1_scale": bp["ln1_scale"], "ln1_bias": bp["ln1_bias"],
+        "wq": wq_, "sq": sq_, "bq": bp["bq"],
+        "wk": wk_, "sk": sk_, "bk": bp["bk"],
+        "wv": wv_, "sv": sv_, "bv": bp["bv"],
+        "wo": wo_, "so": so_, "bo": bp["bo"],
+        "ln2_scale": bp["ln2_scale"], "ln2_bias": bp["ln2_bias"],
+        "w_up": wu_, "s_up": su_, "b_up": bp["b_up"],
+        "w_gate": wg_, "s_gate": sg_,
+        "b_gate": bp["b_gate"] if gated else None,
+        "w_down": wd_, "s_down": sd_, "b_down": bp["b_down"],
+        "k_cache": k_cache, "v_cache": v_cache,
+        "ks_cache": k_scales if kv_quant else None,
+        "vs_cache": v_scales if kv_quant else None,
+    }
+    per_layer_vec = {"ln1_scale", "ln1_bias", "sq", "bq", "sk", "bk", "sv",
+                     "bv", "so", "bo", "ln2_scale", "ln2_bias", "s_up",
+                     "b_up", "s_gate", "b_gate", "s_down", "b_down"}
+    for n in per_layer_vec:
+        v = operands[n]
+        if v is not None and v.ndim == 2:
+            operands[n] = v[:, None, :]
+    flags = {n: operands[n] is not None for n in _NAMES}
+
+    def amap(which):
+        """Index map for attention-phase chunked weights."""
+        if which == "col":   # [L, h, out] sliced on dim 2
+            return lambda l, s, *_: (l, 0, jnp.minimum(s, Ka - 1))
+        return lambda l, s, *_: (l, jnp.minimum(s, Ka - 1), 0)  # wo rows
+
+    def mmap(which):
+        """Index map for MLP-phase chunked weights."""
+        if which == "col":   # [L, h, I] sliced on dim 2
+            return lambda l, s, *_: (l, 0,
+                                     jnp.clip(s - Ka, 0, Km - 1))
+        return lambda l, s, *_: (l, jnp.clip(s - Ka, 0, Km - 1), 0)
+
+    CHUNKED = {
+        "wq": ((1, H, Qg), amap("col")),
+        "wk": ((1, H, KVg), amap("col")),
+        "wv": ((1, H, KVg), amap("col")),
+        "wo": ((1, Qg, H), amap("row")),
+        "sq": ((1, 1, Qg), amap("col")),
+        "sk": ((1, 1, KVg), amap("col")),
+        "sv": ((1, 1, KVg), amap("col")),
+        "bq": ((1, 1, Qg), amap("col")),
+        "bk": ((1, 1, KVg), amap("col")),
+        "bv": ((1, 1, KVg), amap("col")),
+        "w_up": ((1, H, ic), mmap("col")),
+        "w_gate": ((1, H, ic), mmap("col")),
+        "s_up": ((1, 1, ic), mmap("col")),
+        "s_gate": ((1, 1, ic), mmap("col")),
+        "b_up": ((1, 1, ic), mmap("col")),
+        "b_gate": ((1, 1, ic), mmap("col")),
+        "w_down": ((1, ic, H), mmap("row")),
+    }
+    PER_LAYER_FULL = {"ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
+                      "so", "bo", "s_down", "b_down"}
+
+    in_specs = []
+    args = []
+    for n in _NAMES:
+        v = operands[n]
+        if v is None:
+            continue
+        args.append(v)
+        if n in ("k_cache", "v_cache", "ks_cache", "vs_cache"):
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        elif n in CHUNKED:
+            shape, imap = CHUNKED[n]
+            in_specs.append(pl.BlockSpec(shape, imap))
+        elif n in PER_LAYER_FULL:
+            in_specs.append(pl.BlockSpec(
+                (1,) + v.shape[1:],
+                lambda l, s, *_, _nd=v.ndim: (l,) + (0,) * (_nd - 1)))
+        else:  # whole-array constants
+            in_specs.append(pl.BlockSpec(
+                v.shape, lambda l, s, *_, _nd=v.ndim: (0,) * _nd))
+
+    kv_g = lambda l, s, *_: (l, 0, 0, jnp.minimum(s, Ka - 1))
+    out_specs = [
+        pl.BlockSpec((B, H), lambda l, s, *_: (0, 0)),
+        pl.BlockSpec((1, B, 1, KVg), kv_g),
+        pl.BlockSpec((1, B, 1, KVg), kv_g),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H), x.dtype),
+        jax.ShapeDtypeStruct((L, B, 1, KVd), k_cache.dtype),
+        jax.ShapeDtypeStruct((L, B, 1, KVd), v_cache.dtype),
+    ]
+    hkvp = _pad(hkvg, 8)
+    if kv_quant:
+        assert k_scales.shape == (L, B, Ka, hkvp, Smax), (
+            "tiled path expects group-major padded scale caches "
+            "(pad_scales_for_tiled)")
+        # sublane-major scale blocks (1, B, hkvp, 1) satisfy the (8, 128)
+        # tiling rule (minor dim full); reshaped to groups outside
+        sc_g = lambda l, s, *_: (l, 0, jnp.minimum(s, Ka - 1), 0)
+        out_specs += [pl.BlockSpec((1, B, hkvp, 1), sc_g)] * 2
+        out_shape += [jax.ShapeDtypeStruct((L, B, Ka * hkvp, 1),
+                                           jnp.float32)] * 2
+
+    kernel = functools.partial(
+        _tiled_kernel, flags=flags, B=B, D=D, bs=bs, tiling=tiling,
+        I_total=spec.intermediate_size, norm=spec.norm, eps=spec.norm_eps,
+        activation=spec.activation, scale=scale, gated=gated,
+        grouped=G > 1, cdtype=cdtype, kv_quant=kv_quant, hkvg=hkvg)
+
+    pos_spec = pl.BlockSpec((1, 1), lambda l, s, *_: (0, 0),
+                            memory_space=pltpu.SMEM)
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),                      # residual
+        pltpu.VMEM((B, H), cdtype),                           # normed hidden
+        pltpu.VMEM((B, H), jnp.float32),                      # o/mlp accum
+        pltpu.VMEM((2, B, bs, KVg), k_cache.dtype),           # k dbl-buf
+        pltpu.VMEM((2, B, bs, KVg), v_cache.dtype),           # v dbl-buf
+    ]
+    if kv_quant:
+        scratch += [pltpu.VMEM((B, hkvp, Smax), jnp.float32)] * 2
+    scratch.append(pltpu.SemaphoreType.DMA((6 if kv_quant else 4,)))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(L, Ka + Km),
+        in_specs=[pos_spec] + in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32).reshape(1, 1), *args)
+    x_out, k_out, v_out = outs[:3]
+    kc = lax.dynamic_update_slice(k_cache, k_out, (0, 0, pos, 0))
+    vc = lax.dynamic_update_slice(v_cache, v_out, (0, 0, pos, 0))
+    if kv_quant:
+        ks_tok = outs[3].reshape(L, B, Ka, hkvp, 1)
+        vs_tok = outs[4].reshape(L, B, Ka, hkvp, 1)
+        ks = lax.dynamic_update_slice(k_scales, ks_tok, (0, 0, 0, 0, pos))
+        vs = lax.dynamic_update_slice(v_scales, vs_tok, (0, 0, 0, 0, pos))
+        return x_out, kc, vc, ks, vs
+    return x_out, kc, vc

@@ -50,24 +50,47 @@ def _generate_impl(
     # different TPU tilings; reshaping inside the step would relayout-copy
     # the whole cache every token (ops/decode_layer.py).
     from mlio_tpu.ops.decode_layer import supports_decode_stack
+    from mlio_tpu.ops.decode_tiled import supports_decode_tiled
 
+    quantized = cache_quant not in (None, "none")
     use_mega = (impl.decode_stack == "mega"
                 or (impl.decode_stack == "auto"
                     and supports_decode_stack(
-                        spec,
-                        cache_quant=cache_quant not in (None, "none"),
+                        spec, cache_quant=quantized,
                         blocks=params["blocks"])))
-    if use_mega and impl.attention != "dense":
+    use_tiled = (not use_mega
+                 and (impl.decode_stack == "tiled"
+                      or (impl.decode_stack == "auto"
+                          and supports_decode_tiled(
+                              spec, B, cache_quant=quantized,
+                              blocks=params["blocks"]))))
+    if (use_mega or use_tiled) and impl.attention != "dense":
         cache = dict(cache)
         cache["k"] = cache["k"].reshape(*cache["k"].shape[:3], -1)
         cache["v"] = cache["v"].reshape(*cache["v"].shape[:3], -1)
-        if "k_scale" in cache:  # mega wants head-major padded scales
+        if "k_scale" in cache and use_mega:
+            # mega wants head-major padded scales
             from mlio_tpu.ops.decode_layer import pad_scales_for_mega
 
             cache["k_scale"] = pad_scales_for_mega(cache["k_scale"],
                                                    spec.num_kv_heads)
             cache["v_scale"] = pad_scales_for_mega(cache["v_scale"],
                                                    spec.num_kv_heads)
+        elif "k_scale" in cache:
+            # tiled wants group-major padded scales
+            from mlio_tpu.ops.decode_tiled import (
+                _weight_itemsize,
+                choose_tiling,
+                pad_scales_for_tiled,
+            )
+
+            tiling = choose_tiling(spec, B,
+                                   _weight_itemsize(params["blocks"]) or 2,
+                                   1 if quantized else 2)
+            cache["k_scale"] = pad_scales_for_tiled(
+                cache["k_scale"], spec.num_kv_heads, tiling.ka)
+            cache["v_scale"] = pad_scales_for_tiled(
+                cache["v_scale"], spec.num_kv_heads, tiling.ka)
 
     def step(carry, rng_step):
         cache, token = carry
