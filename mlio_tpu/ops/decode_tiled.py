@@ -63,8 +63,14 @@ from mlio_tpu.ops.decode_layer import (
 )
 
 NEG_INF = float("-inf")
-_VMEM_LIMIT = 110 << 20
-_SCRATCH_HEADROOM = 10 << 20
+# pallas_call scoped-VMEM ceiling: near the 128M physical limit so the
+# Mosaic register allocator's spill slots (which scoped VMEM must cover, and
+# which the tiling budget can't see) have real headroom.
+_VMEM_LIMIT = 126 << 20
+# chunk-size search budget: deliberately ~26M under the limit — the gap
+# absorbs stack/spill (measured ~50M for fp8 dequant at 70B shapes, ~5M for
+# int8 at 7B shapes; the fp8 reserve terms below account for the rest).
+_VMEM_BUDGET = 100 << 20
 
 
 class Tiling(NamedTuple):
@@ -76,18 +82,26 @@ class Tiling(NamedTuple):
 
 def choose_tiling(spec, B: int, weight_itemsize: int = 1,
                   cache_itemsize: int = 2,
-                  vmem_budget: int = _VMEM_LIMIT - _SCRATCH_HEADROOM,
+                  vmem_budget: int = _VMEM_BUDGET,
+                  weight_fmt: Optional[str] = None,
                   ) -> Optional[Tiling]:
     """Pick (head-group, intermediate-chunk) sizes that fit the VMEM budget.
 
     All seven weight operands hold double-buffered blocks for the whole
     kernel (Pallas allocates per-operand buffers once), so the constraint is
     2*(attn chunk) + 2*(mlp chunk) + cache buffers + scratch <= budget.
+
+    ``weight_fmt="fp8"`` additionally reserves stack headroom proportional
+    to the chunk sizes: the fp8→bf16 dequant lowers with large live vector
+    temporaries (~50M of register-allocator spill at 70B shapes, roughly
+    invariant to sub-chunking the cast), so the same budget that works for
+    int8 overflows scoped VMEM for fp8.
     """
     h, I = spec.hidden_size, spec.intermediate_size
     Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_size
     gated = spec.activation in ("swiglu", "geglu")
     n_up = 3 if gated else 2
+    fp8 = weight_fmt == "fp8"
 
     scratch = 3 * B * _pad(h, 128) * 4 + (2 << 20)  # x_res/h/acc + consts
     best = None
@@ -102,11 +116,13 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
             continue
         attn = (h * hg * D + 2 * h * hkvg * D + hg * D * h) * weight_itemsize
         cache_bufs = 2 * 2 * B * 128 * hkvg * D * cache_itemsize  # dbl-buf
-        room = vmem_budget - 2 * attn - cache_bufs - scratch
+        attn_total = (2 + (0.5 if fp8 else 0)) * attn
+        room = vmem_budget - int(attn_total) - cache_bufs - scratch
         if room <= 0:
             continue
-        ic = min(_pad(I, 128), (room // 2) // (n_up * h * weight_itemsize)
-                 // 128 * 128)
+        per_ic = n_up * h * weight_itemsize  # bytes per intermediate lane
+        denom = 2 * per_ic + (2 * per_ic if fp8 else 0)
+        ic = min(_pad(I, 128), room // denom // 128 * 128)
         if ic < 128:
             continue
         km = -(-I // ic)
@@ -130,6 +146,14 @@ def _weight_itemsize(blocks) -> Optional[int]:
     return jnp.dtype(w.dtype).itemsize
 
 
+def _weight_fmt(blocks) -> Optional[str]:
+    from mlio_tpu.ops.quant import QTensor
+
+    if blocks is not None and isinstance(blocks.get("wq"), QTensor):
+        return blocks["wq"].fmt
+    return None
+
+
 def supports_decode_tiled(spec, B: int = 8, cache_quant: bool = False,
                           blocks=None) -> bool:
     """Whether the tiled megakernel applies to this model/layout."""
@@ -143,8 +167,8 @@ def supports_decode_tiled(spec, B: int = 8, cache_quant: bool = False,
         return False
     if spec.head_size % 128 and (spec.num_heads * spec.head_size) % 128:
         return False
-    return choose_tiling(spec, B, itemsize,
-                         1 if cache_quant else 2) is not None
+    return choose_tiling(spec, B, itemsize, 1 if cache_quant else 2,
+                         weight_fmt=_weight_fmt(blocks)) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -182,15 +206,39 @@ _NAMES = ["x", "cosq", "sinq", "cosk", "sink", "rotq", "rotk",
           "k_cache", "v_cache", "ks_cache", "vs_cache"]
 
 
+# Max bf16 bytes a single dequant-cast intermediate may hold in vregs.
+# Casting a whole [K, N] quantized chunk to bf16 materializes K*N*2 bytes
+# in registers; at 70B shapes (~25 MB per matmul, several live at once)
+# that spills past VMEM. Sub-chunking the contracting dim bounds it.
+_CAST_CHUNK_BYTES = 2 << 20
+
+
+def _qdot(h16, w, out_w):
+    """h16 @ w with the int8/fp8→bf16 dequant cast sub-chunked along the
+    contracting dim so at most _CAST_CHUNK_BYTES of cast weight is live."""
+    K = w.shape[0]
+    rows = max(512, _CAST_CHUNK_BYTES // (out_w * 2) // 512 * 512)
+    if K <= rows or K % rows:
+        return jnp.dot(h16, w.astype(h16.dtype),
+                       preferred_element_type=jnp.float32)
+    y = None
+    for j in range(0, K, rows):
+        part = jnp.dot(h16[:, j:j + rows],
+                       w[j:j + rows].astype(h16.dtype),
+                       preferred_element_type=jnp.float32)
+        y = part if y is None else y + part
+    return y
+
+
 def _mmc(h16, w_ref, b_ref, s_ref):
     """x @ chunk (+bias, int8 per-channel dequant fused); refs are the
     current phase's weight chunk blocks."""
     w = w_ref[0]
     if s_ref is not None:
-        w = w.astype(h16.dtype)
-    y = jnp.dot(h16, w, preferred_element_type=jnp.float32)
-    if s_ref is not None:
+        y = _qdot(h16, w, w.shape[1])
         y = y * s_ref[0].astype(jnp.float32)
+    else:
+        y = jnp.dot(h16, w, preferred_element_type=jnp.float32)
     if b_ref is not None:
         y = y + b_ref[0].astype(jnp.float32)
     return y
@@ -265,9 +313,13 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
         qs = q * scale
         qmask = qs[:, :, None] * expand.T[None].astype(jnp.float32)
         if grouped:
-            qmask = jax.vmap(lambda a: jnp.dot(
-                r["group"][...].astype(jnp.float32), a,
-                preferred_element_type=jnp.float32))(qmask)   # [B, KVg, Hg]
+            # batch-leading dot_general + transpose: the vmap'd form lowers
+            # to a [KVg, B, Hg]-major dot Mosaic can't lay out (small Hg)
+            qmask = lax.dot_general(
+                qmask, r["group"][...].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [B, Hg, KVg]
+            qmask = qmask.transpose(0, 2, 1)                  # [B, KVg, Hg]
         qmask = qmask.astype(bf)
 
         ctx = pos
@@ -278,9 +330,10 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
 
         def pv_select(pv_hk):
             if grouped:
-                pv_hk = jax.vmap(lambda a: jnp.dot(
-                    a, r["group"][...].astype(jnp.float32),
-                    preferred_element_type=jnp.float32))(pv_hk)
+                pv_hk = lax.dot_general(
+                    pv_hk, r["group"][...].astype(jnp.float32),
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # [B, Hg, Qg]
             return jnp.sum(pv_hk * expf[None], axis=1)        # [B, Qg]
 
         def to_qheads_t(sc_t):
@@ -325,31 +378,23 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                 sems.at[2 + slot])
             return kr, vr
 
-        dbuf = not kv_quant
-        if dbuf:
-            @pl.when(nb > 0)
-            def _():
-                kr, vr = kv_copies(0, 0)
-                kr.start()
-                vr.start()
+        @pl.when(nb > 0)
+        def _():
+            kr, vr = kv_copies(0, 0)
+            kr.start()
+            vr.start()
 
         def block(j, carry):
             m, l, acc = carry
-            if dbuf:
-                slot = lax.rem(j, 2)
+            slot = lax.rem(j, 2)
 
-                @pl.when(j + 1 < nb)
-                def _():
-                    kr, vr = kv_copies(j + 1, 1 - slot)
-                    kr.start()
-                    vr.start()
-
-                kr, vr = kv_copies(j, slot)
-            else:
-                slot = 0
-                kr, vr = kv_copies(j, 0)
+            @pl.when(j + 1 < nb)
+            def _():
+                kr, vr = kv_copies(j + 1, 1 - slot)
                 kr.start()
                 vr.start()
+
+            kr, vr = kv_copies(j, slot)
             kr.wait()
             vr.wait()
             kbv = kb[slot].astype(bf) if kv_quant else kb[slot]
@@ -411,13 +456,26 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             gt = None
         act = _activate(u, gt, activation).astype(cdtype)
         wd = r["w_down"][0]
-        # zero garbage rows of the edge block (unspecified padding may be
-        # non-finite; 0 * NaN would poison the matmul)
-        row = kk * ic + lax.broadcasted_iota(jnp.int32, wd.shape, 0)
-        wd = jnp.where(row < I_total, wd, 0)
-        if r["s_down"] is not None:
-            wd = wd.astype(cdtype)
-        d = jnp.dot(act, wd, preferred_element_type=jnp.float32)
+        # Zero garbage rows of the edge block (unspecified padding may be
+        # non-finite; 0 * NaN would poison the matmul), mask+cast+dot in
+        # contracting sub-chunks so only a bounded bf16 slice is ever live
+        # in vregs (a whole-chunk cast is ~25 MB at 70B shapes and spills).
+        H_out = wd.shape[1]
+        rows = max(512, _CAST_CHUNK_BYTES // (H_out * 2) // 512 * 512)
+        if ic <= rows or ic % rows:
+            spans = [(0, ic)]
+        else:
+            spans = [(j, rows) for j in range(0, ic, rows)]
+        d = None
+        for j0, nr in spans:
+            row = (kk * ic + j0
+                   + lax.broadcasted_iota(jnp.int32, (nr, 1), 0))
+            wdj = jnp.where(row < I_total, wd[j0:j0 + nr], 0)
+            if r["s_down"] is not None:
+                wdj = wdj.astype(cdtype)
+            part = jnp.dot(act[:, j0:j0 + nr], wdj,
+                           preferred_element_type=jnp.float32)
+            d = part if d is None else d + part
         if r["s_down"] is not None:
             d = d * r["s_down"][0].astype(jnp.float32)
         acc_scr[...] = acc_scr[...] + d
@@ -468,7 +526,8 @@ def decode_layer_tiled(
         scale = D ** -0.5
     if tiling is None:
         tiling = choose_tiling(spec, B, _weight_itemsize(blocks) or 2,
-                               1 if kv_quant else 2)
+                               1 if kv_quant else 2,
+                               weight_fmt=_weight_fmt(blocks))
     assert tiling is not None, "no VMEM-feasible tiling for this model"
     Hg, ic, Ka, Km = tiling
     hkvg = Hkv // Ka

@@ -35,8 +35,13 @@ NEG_INF = float("-inf")
 
 
 def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref,
-                      *scratch, scale: float, block_kv: int, causal: bool,
-                      kv_super: int, sq: int, chunked: bool):
+                      *rest, scale: float, block_kv: int, causal: bool,
+                      kv_super: int, sq: int, chunked: bool,
+                      with_stats: bool = False):
+    if with_stats:
+        lse_ref, *scratch = rest
+    else:
+        lse_ref, scratch = None, list(rest)
     qi = pl.program_id(2)
     bq = q_ref.shape[2]
     D = q_ref.shape[3]
@@ -121,6 +126,13 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref,
     def finish(m, l, acc):
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+        if with_stats:
+            # log-sum-exp of the SCALED scores (scale folded into q above);
+            # -inf where the row saw no valid key
+            lse = jnp.where(l == 0.0, NEG_INF,
+                            jnp.where(jnp.isneginf(m), 0.0, m)
+                            + jnp.log(l_safe))
+            lse_ref[0, 0] = lse[:, 0]
 
     if not chunked:
         # Single-chunk fast path: carries stay in registers, unconditional
@@ -149,9 +161,9 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref,
 
 def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
                           kscale_ref, vscale_ref, o_ref,
-                          *scratch, scale: float,
+                          *rest, scale: float,
                           block_kv: int, causal: bool, kv_super: int,
-                          sq: int, chunked: bool):
+                          sq: int, chunked: bool, with_stats: bool = False):
     """INT8-KV variant: k/v arrive as int8 with per-(token, head) scales.
 
     Dequantization is algebraically fused into the attention math so the MXU
@@ -162,6 +174,10 @@ def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
     capability (BASELINE.md; SURVEY.md §7 "fusing dequant into the attention
     inner loop").
     """
+    if with_stats:
+        lse_ref, *scratch = rest
+    else:
+        lse_ref, scratch = None, list(rest)
     qi = pl.program_id(2)
     bq = q_ref.shape[2]
     D = q_ref.shape[3]
@@ -230,6 +246,11 @@ def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
     def finish(m, l, acc):
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+        if with_stats:
+            lse = jnp.where(l == 0.0, NEG_INF,
+                            jnp.where(jnp.isneginf(m), 0.0, m)
+                            + jnp.log(l_safe))
+            lse_ref[0, 0] = lse[:, 0]
 
     if not chunked:
         m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
@@ -258,7 +279,8 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv",
-                     "kv_vmem_budget", "interpret", "kv_layout"),
+                     "kv_vmem_budget", "interpret", "kv_layout",
+                     "return_stats"),
 )
 def flash_attention(
     q: jax.Array,
@@ -276,7 +298,8 @@ def flash_attention(
     kv_vmem_budget: int = 6 << 20,
     interpret: bool = False,
     kv_layout: str = "bshd",
-) -> jax.Array:
+    return_stats: bool = False,
+):
     """Flash attention. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D] → [B,Sq,Hq,D].
 
     ``q_offset``: absolute position of q[:, 0] (decode with a cache).
@@ -284,6 +307,9 @@ def flash_attention(
     ``kv_layout="bhsd"``: k/v arrive pre-transposed as [B,Hkv,Skv,D] (the
     contiguous decode-cache layout) with scales [B,Hkv,Skv] — skips the
     relayout the kernel would otherwise do per call.
+    ``return_stats``: also return the per-row log-sum-exp of the SCALED
+    scores, [B, Hq, Sq] fp32 (-inf where a row saw no valid key) — the
+    merge statistic for ring/chunked attention across calls.
     Wrapper parity: triton_flash_attention
     flash_attention_kernels.py:1150-1315 (shape checks, block heuristics,
     mask canonicalization).
@@ -355,8 +381,12 @@ def flash_attention(
 
     chunked = n_kv_chunks > 1
     kv_quant = k_scale is not None
+    out_shape = jax.ShapeDtypeStruct((B, Hq, sq_pad, D), q.dtype)
+    if return_stats:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, Hq, sq_pad), jnp.float32))
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((B, Hq, sq_pad, D), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(("parallel", "parallel", "arbitrary",
                                   "arbitrary") if chunked else
@@ -390,6 +420,7 @@ def flash_attention(
                               lambda b, h, i, j, *_: (b, h, i, 0))
         out_spec = pl.BlockSpec((1, 1, bq, D),
                                 lambda b, h, i, j, *_: (b, h, i, 0))
+        lse_spec = pl.BlockSpec((1, 1, bq), lambda b, h, i, j, *_: (b, h, i))
         # (m, l, acc) carried across kv-chunk grid steps
         scratch = [pltpu.VMEM((bq, 1), jnp.float32),
                    pltpu.VMEM((bq, 1), jnp.float32),
@@ -406,6 +437,7 @@ def flash_attention(
         q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
         out_spec = pl.BlockSpec((1, 1, bq, D),
                                 lambda b, h, i, *_: (b, h, i, 0))
+        lse_spec = pl.BlockSpec((1, 1, bq), lambda b, h, i, *_: (b, h, i))
         scratch = []
 
     kv_spec = pl.BlockSpec((1, 1, kv_super, D), kv_chunk_idx)
@@ -436,14 +468,15 @@ def flash_attention(
         sc_spec = pl.BlockSpec((1, 1, 1, kv_super), sc_chunk_idx)
         kernel = functools.partial(
             _flash_fwd_kernel_kvq, scale=scale, block_kv=bkv, causal=causal,
-            kv_super=kv_super, sq=Sq, chunked=chunked)
+            kv_super=kv_super, sq=Sq, chunked=chunked,
+            with_stats=return_stats)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=grid,
                 in_specs=[q_spec, kv_spec, kv_spec, sc_spec, sc_spec],
-                out_specs=out_spec,
+                out_specs=(out_spec, lse_spec) if return_stats else out_spec,
                 scratch_shapes=scratch,
             ),
             **common,
@@ -451,19 +484,24 @@ def flash_attention(
     else:
         kernel = functools.partial(
             _flash_fwd_kernel, scale=scale, block_kv=bkv, causal=causal,
-            kv_super=kv_super, sq=Sq, chunked=chunked)
+            kv_super=kv_super, sq=Sq, chunked=chunked,
+            with_stats=return_stats)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=grid,
                 in_specs=[q_spec, kv_spec, kv_spec],
-                out_specs=out_spec,
+                out_specs=(out_spec, lse_spec) if return_stats else out_spec,
                 scratch_shapes=scratch,
             ),
             **common,
         )(kvlen_arr, qoff_arr, qt, kt, vt)
 
+    if return_stats:
+        out, lse = out
+        return (out[:, :, :Sq, :].transpose(0, 2, 1, 3),
+                lse[:, :, :Sq])
     out = out[:, :, :Sq, :].transpose(0, 2, 1, 3)
     return out
 

@@ -30,27 +30,52 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mlio_tpu.ops.ring_attention import chunk_step, finalize, init_stats
+from mlio_tpu.ops.ring_attention import (
+    chunk_step,
+    chunk_step_flash,
+    finalize,
+    init_stats,
+)
 
 
-def _local_ring_body(q, k, v, *, axis: str, causal: bool, scale: float):
+def _use_flash(use_flash):
+    # Pallas per-chunk attention on TPU; jnp einsum path on CPU (tests run
+    # on an 8-virtual-device CPU mesh where Mosaic can't lower).
+    return jax.default_backend() == "tpu" if use_flash is None else use_flash
+
+
+def _chunk_update(q, kc, vc, m, l, acc, *, scale, q_start, k_start, causal,
+                  use_flash, interpret=False):
+    """One local (m, l, acc) accumulation against a contiguous K/V chunk,
+    via the Pallas flash kernel (MXU) or the jnp oracle."""
+    if use_flash:
+        return chunk_step_flash(q, kc, vc, m, l, acc, scale=scale,
+                                q_offset=q_start, k_offset=k_start,
+                                causal=causal, interpret=interpret)
+    S_loc, C = q.shape[1], kc.shape[1]
+    return chunk_step(q.astype(jnp.float32), kc, vc, m, l, acc, scale=scale,
+                      q_positions=q_start + jnp.arange(S_loc),
+                      k_positions=k_start + jnp.arange(C), causal=causal)
+
+
+def _local_ring_body(q, k, v, *, axis: str, causal: bool, scale: float,
+                     use_flash: bool, interpret: bool = False):
     """shard_map body: q/k/v are the LOCAL [B, S_loc, H(q|kv), D] shards."""
     sp = lax.axis_size(axis)
     idx = lax.axis_index(axis)
     B, S_loc, Hq, D = q.shape
 
-    qf = q.astype(jnp.float32)
-    q_pos = idx * S_loc + jnp.arange(S_loc)
+    q_start = idx * S_loc
 
     def step(carry, s):
         m, l, acc, kc, vc = carry
         # Chunk currently held: started as our own (idx), each ppermute step
         # hands us our left neighbor's, i.e. chunk (idx - s) mod sp.
         chunk_idx = (idx - s) % sp
-        k_pos = chunk_idx * S_loc + jnp.arange(S_loc)
-        m, l, acc = chunk_step(qf, kc, vc, m, l, acc, scale=scale,
-                               q_positions=q_pos, k_positions=k_pos,
-                               causal=causal)
+        m, l, acc = _chunk_update(q, kc, vc, m, l, acc, scale=scale,
+                                  q_start=q_start, k_start=chunk_idx * S_loc,
+                                  causal=causal, use_flash=use_flash,
+                                  interpret=interpret)
         # Rotate K/V around the ring (reference: ring_exchange
         # communication.py:1694-1831 → one ppermute).
         perm = [(i, (i + 1) % sp) for i in range(sp)]
@@ -65,7 +90,8 @@ def _local_ring_body(q, k, v, *, axis: str, causal: bool, scale: float):
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis", "causal", "scale",
-                                             "strategy"))
+                                             "strategy", "use_flash",
+                                             "interpret"))
 def sequence_parallel_attention(
     q: jax.Array,
     k: jax.Array,
@@ -76,6 +102,8 @@ def sequence_parallel_attention(
     causal: bool = True,
     scale: Optional[float] = None,
     strategy: str = "ring",
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Attention with q/k/v sharded on the sequence dim over ``axis``.
 
@@ -85,10 +113,12 @@ def sequence_parallel_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     spec = P(None, axis, None, None)
+    use_flash = _use_flash(use_flash)
 
     if strategy == "ring":
         body = functools.partial(_local_ring_body, axis=axis, causal=causal,
-                                 scale=scale)
+                                 scale=scale, use_flash=use_flash,
+                                 interpret=interpret)
     elif strategy == "full":
         def body(q, k, v):
             # all-gather K/V over the ring, then one local blockwise pass
@@ -97,23 +127,23 @@ def sequence_parallel_attention(
             sp = lax.axis_size(axis)
             idx = lax.axis_index(axis)
             B, S_loc, Hq, D = q.shape
-            q_pos = idx * S_loc + jnp.arange(S_loc)
-            k_pos = jnp.arange(S_loc * sp)
             m, l, acc = init_stats(B, Hq, S_loc, D)
-            m, l, acc = chunk_step(q.astype(jnp.float32), kg, vg, m, l, acc,
-                                   scale=scale, q_positions=q_pos,
-                                   k_positions=k_pos, causal=causal)
+            m, l, acc = _chunk_update(q, kg, vg, m, l, acc, scale=scale,
+                                      q_start=idx * S_loc, k_start=0,
+                                      causal=causal, use_flash=use_flash,
+                                      interpret=interpret)
             return finalize(m, l, acc, q.dtype)
     elif strategy == "local":
         def body(q, k, v):
             sp = lax.axis_size(axis)
             idx = lax.axis_index(axis)
             B, S_loc, Hq, D = q.shape
-            pos = idx * S_loc + jnp.arange(S_loc)
+            pos0 = idx * S_loc
             m, l, acc = init_stats(B, Hq, S_loc, D)
-            m, l, acc = chunk_step(q.astype(jnp.float32), k, v, m, l, acc,
-                                   scale=scale, q_positions=pos,
-                                   k_positions=pos, causal=causal)
+            m, l, acc = _chunk_update(q, k, v, m, l, acc, scale=scale,
+                                      q_start=pos0, k_start=pos0,
+                                      causal=causal, use_flash=use_flash,
+                                      interpret=interpret)
             return finalize(m, l, acc, q.dtype)
     elif strategy == "ulysses":
         def body(q, k, v):
@@ -126,11 +156,11 @@ def sequence_parallel_attention(
             va = lax.all_to_all(v, axis, split_axis=2, concat_axis=1,
                                 tiled=True)
             B, S, Hq_loc, D = qa.shape
-            pos = jnp.arange(S)
             m, l, acc = init_stats(B, Hq_loc, S, D)
-            m, l, acc = chunk_step(qa.astype(jnp.float32), ka, va, m, l, acc,
-                                   scale=scale, q_positions=pos,
-                                   k_positions=pos, causal=causal)
+            m, l, acc = _chunk_update(qa, ka, va, m, l, acc, scale=scale,
+                                      q_start=0, k_start=0,
+                                      causal=causal, use_flash=use_flash,
+                                      interpret=interpret)
             out = finalize(m, l, acc, q.dtype)
             # back: [B, S, H/sp, D] → [B, S/sp, H, D]
             return lax.all_to_all(out, axis, split_axis=1, concat_axis=2,

@@ -79,6 +79,7 @@ def _generate_impl(
         elif "k_scale" in cache:
             # tiled wants group-major padded scales
             from mlio_tpu.ops.decode_tiled import (
+                _weight_fmt,
                 _weight_itemsize,
                 choose_tiling,
                 pad_scales_for_tiled,
@@ -86,7 +87,8 @@ def _generate_impl(
 
             tiling = choose_tiling(spec, B,
                                    _weight_itemsize(params["blocks"]) or 2,
-                                   1 if quantized else 2)
+                                   1 if quantized else 2,
+                                   weight_fmt=_weight_fmt(params["blocks"]))
             cache["k_scale"] = pad_scales_for_tiled(
                 cache["k_scale"], spec.num_kv_heads, tiling.ka)
             cache["v_scale"] = pad_scales_for_tiled(
