@@ -79,6 +79,22 @@ def spec_from_hf_config(cfg: Any, name: str = "custom") -> ModelSpec:
             activation="gelu_new", norm="layernorm",
             norm_eps=get("layer_norm_epsilon", 1e-5),
             positional="learned", tie_embeddings=True)
+    if model_type == "mixtral":
+        heads = get("num_attention_heads")
+        return ModelSpec(
+            name=name, vocab_size=get("vocab_size"),
+            hidden_size=get("hidden_size"),
+            num_layers=get("num_hidden_layers"),
+            num_heads=heads, num_kv_heads=get("num_key_value_heads") or heads,
+            intermediate_size=get("intermediate_size"),
+            max_seq_len=get("max_position_embeddings", 8192),
+            activation="swiglu", norm="rmsnorm",
+            norm_eps=get("rms_norm_eps", 1e-5), positional="rope",
+            rope_theta=get("rope_theta", 1000000.0),
+            use_qkv_bias=False, use_mlp_bias=False, use_out_bias=False,
+            tie_embeddings=bool(get("tie_word_embeddings", False)),
+            num_experts=get("num_local_experts", 8),
+            num_experts_per_tok=get("num_experts_per_tok", 2))
     if model_type in ("llama", "mistral", "qwen2"):
         heads = get("num_attention_heads")
         return ModelSpec(
@@ -277,6 +293,83 @@ def convert_llama(sd: StateDict, spec: ModelSpec, dtype=jnp.float32,
     }
 
 
+def convert_mixtral(sd: StateDict, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
+    """Mixtral state dict → pytree: Llama attention + sparse-MoE MLP.
+
+    HF layout per layer: ``block_sparse_moe.gate.weight`` [E, h] router and
+    per-expert ``experts.{e}.w1/w3/w2.weight`` (w1 = SwiGLU gate, w3 = up,
+    w2 = down). Experts stack onto a leading E axis so the forward's grouped
+    matmul (ops/moe.py) sees [L, E, h, i] / [L, E, i, h]."""
+    prefix = "model." if any(k.startswith("model.") for k in sd) else ""
+    L, E = spec.num_layers, spec.num_experts
+
+    def g(key):
+        return np.asarray(sd[prefix + key])
+
+    def J(x):
+        return jnp.asarray(x, dtype=dtype)
+
+    def expert_stack(w: str):
+        # [L, E, in, out] from torch's [out, in] per expert
+        return J(np.stack([
+            np.stack([g(f"layers.{i}.block_sparse_moe.experts.{e}.{w}.weight").T
+                      for e in range(E)]) for i in range(L)]))
+
+    params = convert_llama_attention_only(sd, spec, dtype)
+    params["blocks"].update({
+        "w_up": None, "b_up": None, "w_gate": None, "b_gate": None,
+        "w_down": None, "b_down": None,
+        "router": J(np.stack(
+            [g(f"layers.{i}.block_sparse_moe.gate.weight").T
+             for i in range(L)])),
+        "moe_gate": expert_stack("w1"),
+        "moe_up": expert_stack("w3"),
+        "moe_down": expert_stack("w2"),
+    })
+    return params
+
+
+def convert_llama_attention_only(sd: StateDict, spec: ModelSpec,
+                                 dtype=jnp.float32) -> Dict[str, Any]:
+    """Llama-layout conversion skipping the dense-MLP keys (for MoE models
+    whose attention/norm/embedding layout matches Llama)."""
+    prefix = "model." if any(k.startswith("model.") for k in sd) else ""
+    L = spec.num_layers
+
+    def g(key):
+        return np.asarray(sd[prefix + key])
+
+    def J(x):
+        return jnp.asarray(x, dtype=dtype)
+
+    def lin(fmt):
+        return J(np.stack([g(fmt.format(i)).T for i in range(L)]))
+
+    def ln(fmt):
+        return J(np.stack([g(fmt.format(i)) for i in range(L)]))
+
+    blocks = {
+        "ln1_scale": ln("layers.{}.input_layernorm.weight"),
+        "ln1_bias": None,
+        "wq": lin("layers.{}.self_attn.q_proj.weight"), "bq": None,
+        "wk": lin("layers.{}.self_attn.k_proj.weight"), "bk": None,
+        "wv": lin("layers.{}.self_attn.v_proj.weight"), "bv": None,
+        "wo": lin("layers.{}.self_attn.o_proj.weight"), "bo": None,
+        "ln2_scale": ln("layers.{}.post_attention_layernorm.weight"),
+        "ln2_bias": None,
+    }
+    lm_head = (None if spec.tie_embeddings or "lm_head.weight" not in sd
+               else J(np.asarray(sd["lm_head.weight"]).T))
+    return {
+        "tok_embed": J(g("embed_tokens.weight")),
+        "pos_embed": None,
+        "blocks": blocks,
+        "final_scale": J(g("norm.weight")),
+        "final_bias": None,
+        "lm_head": lm_head,
+    }
+
+
 def convert_gemma(sd: StateDict, spec: ModelSpec, dtype=jnp.float32) -> Dict[str, Any]:
     """Gemma = Llama layout + (1 + w) RMSNorm (folded here) + GeGLU +
     sqrt(hidden) embedding scale (a spec knob, not a weight transform)."""
@@ -463,6 +556,7 @@ class ModelRegistry:
 
 model_registry = ModelRegistry()
 model_registry.register(r"gpt2.*", convert_gpt2)
+model_registry.register(r".*mixtral.*", convert_mixtral)
 model_registry.register(r".*llama.*", convert_llama)
 model_registry.register(r".*mistral.*", convert_llama)
 model_registry.register(r".*qwen.*", convert_llama)

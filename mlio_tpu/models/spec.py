@@ -52,6 +52,10 @@ class ModelSpec:
     shared_ln: bool = False
     embed_scale: Optional[float] = None  # Gemma: sqrt(hidden_size)
     use_head_bias: bool = False  # Phi: lm_head carries a bias
+    # Mixture-of-Experts (Mixtral family). 0 experts = dense MLP. The
+    # reference has no MoE/EP support (SURVEY.md §2.5) — capability addition.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
 
     @property
     def head_size(self) -> int:
@@ -79,12 +83,16 @@ class ModelSpec:
         assert self.num_heads % self.num_kv_heads == 0, "heads must divide evenly into KV groups"
         if self.head_dim is None:
             assert self.hidden_size % self.num_heads == 0
+        if self.num_experts:
+            assert 0 < self.num_experts_per_tok <= self.num_experts
 
     def num_params(self) -> int:
         """Approximate parameter count (embeddings + blocks + head)."""
         h, i, l, v = self.hidden_size, self.intermediate_size, self.num_layers, self.vocab_size
         attn = h * self.q_dim + 2 * h * self.kv_dim + self.q_dim * h
         mlp = (3 if self.activation in ("swiglu", "geglu") else 2) * h * i
+        if self.num_experts:
+            mlp = self.num_experts * mlp + h * self.num_experts  # + router
         per_layer = attn + mlp + 4 * h
         embed = v * h + (self.max_seq_len * h if self.positional == "learned" else 0)
         head = 0 if self.tie_embeddings else v * h
@@ -183,12 +191,20 @@ PRESETS = {
         norm_eps=1e-6, positional="rope", use_qkv_bias=False,
         use_mlp_bias=False, use_out_bias=False, tie_embeddings=True,
         embed_scale=3072.0 ** 0.5),
+    # Mixtral (sparse MoE: 8 SwiGLU experts, top-2 routing)
+    "mixtral-8x7b": dataclasses.replace(
+        _llama("mixtral-8x7b", 4096, 32, 32, 8, 14336, max_seq=8192,
+               rope_theta=1000000.0),
+        num_experts=8, num_experts_per_tok=2),
     # Tiny variants for tests (same topology, small dims)
     "gpt2-tiny": dataclasses.replace(
         _gpt2("gpt2-tiny", 64, 2, 4), vocab_size=256, max_seq_len=128,
         intermediate_size=256),
     "llama-tiny": dataclasses.replace(
         _llama("llama-tiny", 64, 2, 4, 2, 128, vocab=256, max_seq=128)),
+    "moe-tiny": dataclasses.replace(
+        _llama("moe-tiny", 64, 2, 4, 2, 128, vocab=256, max_seq=128),
+        num_experts=4, num_experts_per_tok=2),
     "neox-tiny": ModelSpec(
         name="neox-tiny", vocab_size=256, hidden_size=64, num_layers=2,
         num_heads=4, num_kv_heads=4, intermediate_size=256, max_seq_len=128,

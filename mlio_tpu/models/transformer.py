@@ -45,6 +45,11 @@ class Impl:
     block_kv: Optional[int] = None
     ring_chunk: int = 512
     interpret: Optional[bool] = None  # Pallas interpreter mode (None = auto)
+    # MoE execution method: "ragged" (dropless grouped matmul, single-shard
+    # default), "dispatch" (GShard einsum dispatch — the expert-parallel
+    # path), "dense" (all-experts oracle). See ops/moe.py.
+    moe: str = "ragged"
+    moe_capacity_factor: float = 2.0
 
     @staticmethod
     def fastest() -> "Impl":
@@ -95,6 +100,17 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
         "w_down": w(keys[6], (l, i, h), i),
         "b_down": maybe_zeros((l, h), spec.use_mlp_bias),
     }
+    if spec.num_experts:  # sparse MoE: expert-stacked MLP + router
+        E = spec.num_experts
+        gated = spec.activation in ("swiglu", "geglu")
+        blocks.update({
+            "w_up": None, "b_up": None, "w_gate": None, "b_gate": None,
+            "w_down": None, "b_down": None,
+            "router": w(keys[4], (l, h, E), h),
+            "moe_up": w(keys[5], (l, E, h, i), h),
+            "moe_gate": w(keys[6], (l, E, h, i), h) if gated else None,
+            "moe_down": w(keys[6], (l, E, i, h), i),
+        })
     params: Params = {
         "tok_embed": (jax.random.normal(keys[7], (spec.vocab_size, h)) * 0.02).astype(dtype),
         "pos_embed": (
@@ -180,7 +196,13 @@ def _qkv_proj(h_norm, x, bp, spec, impl):
 
 def _run_mlp(h, bp, spec, impl):
     """MLP sublayer; supports the fused [up | gate] projection layout
-    (runtime.quantization.fuse_projections)."""
+    (runtime.quantization.fuse_projections) and sparse MoE routing."""
+    if bp.get("router") is not None:
+        return ops.moe_mlp(
+            h, bp["router"], bp.get("moe_gate"), bp["moe_up"],
+            bp["moe_down"], top_k=spec.num_experts_per_tok,
+            activation=spec.activation, method=impl.moe,
+            capacity_factor=impl.moe_capacity_factor).astype(h.dtype)
     if bp.get("w_upgate") is not None:
         from mlio_tpu.ops.fused_mlp import _activate
 

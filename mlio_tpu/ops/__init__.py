@@ -141,6 +141,16 @@ def fused_ln_qkv(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, *,
                             interpret=_use_interpret(impl))
 
 
+def moe_mlp(x, w_router, w_gate, w_up, w_down, *, top_k,
+            activation="swiglu", method="ragged", capacity_factor=2.0):
+    """Mixture-of-Experts MLP dispatcher (see ops/moe.py; capability
+    addition — the reference has no MoE, SURVEY.md §2.5)."""
+    from mlio_tpu.ops import moe as _moe
+    return _moe.moe_mlp(x, w_router, w_gate, w_up, w_down, top_k=top_k,
+                        activation=activation, method=method,
+                        capacity_factor=capacity_factor)
+
+
 def flash_attention_vjp(*args, **kwargs):
     """Differentiable flash attention (Pallas fwd+bwd kernels); see
     ops/flash_attention_grad.py. Lazy import keeps cold-start light."""
@@ -153,6 +163,7 @@ __all__ = [
     "flash_attention_vjp",
     "linear",
     "mlp",
+    "moe_mlp",
     "norm",
     "fused_ln_qkv",
     "QTensor",

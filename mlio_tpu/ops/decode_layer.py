@@ -384,7 +384,7 @@ def supports_decode_stack(spec, cache_quant: bool = False,
                           blocks=None) -> bool:
     """Whether the megakernel path applies (VMEM + feature constraints).
     ``cache_quant`` = INT8 KV cache (supported; halves cache block bytes)."""
-    if spec.parallel_residual:
+    if spec.parallel_residual or spec.num_experts:
         return False
     if spec.activation not in ("swiglu", "geglu", "gelu", "gelu_new",
                                "gelu_tanh", "relu"):

@@ -157,7 +157,7 @@ def _weight_fmt(blocks) -> Optional[str]:
 def supports_decode_tiled(spec, B: int = 8, cache_quant: bool = False,
                           blocks=None) -> bool:
     """Whether the tiled megakernel applies to this model/layout."""
-    if spec.parallel_residual:
+    if spec.parallel_residual or spec.num_experts:
         return False
     if spec.activation not in ("swiglu", "geglu", "gelu", "gelu_new",
                                "gelu_tanh", "relu"):

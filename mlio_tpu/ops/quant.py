@@ -117,9 +117,16 @@ def quantize(w: jax.Array, fmt: str) -> QTensor:
 
 
 def dequantize(t: QTensor, dtype=jnp.float32) -> jax.Array:
-    """Reference dequant (used by the jnp fallback and tests)."""
+    """Reference dequant (used by the jnp fallback and tests).
+
+    Handles batched weight stacks ([L, K, N] / MoE [L, E, K, N]) whose
+    per-output-channel scale dropped the contracting axis: the scale gets a
+    broadcast axis re-inserted before the last dim."""
     q = unpack_int4(t.q) if t.fmt == "int4" else t.q
-    return (q.astype(jnp.float32) * t.scale.astype(jnp.float32)).astype(dtype)
+    scale = t.scale.astype(jnp.float32)
+    if scale.ndim == q.ndim - 1 and scale.ndim >= 1:
+        scale = scale[..., None, :]
+    return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
 # ---------------------------------------------------------------------------

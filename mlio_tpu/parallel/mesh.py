@@ -20,7 +20,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "seq", "pipe", "tensor")
+AXES = ("data", "seq", "pipe", "expert", "tensor")
 
 
 def make_mesh(
@@ -28,22 +28,27 @@ def make_mesh(
     seq: int = 1,
     tensor: int = 1,
     pipe: int = 1,
+    expert: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (data, seq, tensor) mesh over the available devices.
+    """Build a (data, seq, pipe, expert, tensor) mesh over the devices.
 
     The product must equal the device count used (parity with the
-    validation in ParallelConfig, orchestrator.py:61-120).
+    validation in ParallelConfig, orchestrator.py:61-120). The "expert"
+    axis carries MoE expert parallelism (a capability the reference lacks,
+    SURVEY.md §2.5); it sits just outside "tensor" so the dispatch
+    all-to-alls still ride ICI.
     """
     if devices is None:
         devices = jax.devices()
-    world = data * seq * pipe * tensor
+    world = data * seq * pipe * expert * tensor
     if world > len(devices):
         raise ValueError(
-            f"mesh {data}x{seq}x{pipe}x{tensor}={world} exceeds "
+            f"mesh {data}x{seq}x{pipe}x{expert}x{tensor}={world} exceeds "
             f"{len(devices)} devices")
-    devs = np.asarray(devices[:world]).reshape(data, seq, pipe, tensor)
+    devs = np.asarray(devices[:world]).reshape(data, seq, pipe, expert,
+                                               tensor)
     return Mesh(devs, AXES)
 
 

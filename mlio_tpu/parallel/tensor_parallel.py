@@ -50,6 +50,14 @@ def param_specs(spec: ModelSpec) -> Dict[str, Any]:
         # stay correct on each shard.
         "wqkv": col, "bqkv": bias_col,
         "w_upgate": col, "b_upgate": bias_col,
+        # MoE (capability addition — reference has no EP, SURVEY §2.5):
+        # router stays replicated (every token needs all E logits); expert
+        # weights shard the expert dim on "expert" and keep the Megatron
+        # column/row pattern on "tensor" within each expert.
+        "router": rep2,
+        "moe_up": P(None, "expert", None, "tensor"),
+        "moe_gate": P(None, "expert", None, "tensor"),
+        "moe_down": P(None, "expert", "tensor", None),
     }
     return {
         "tok_embed": P("tensor", None),
@@ -93,11 +101,15 @@ def shard_params(params, spec: ModelSpec, mesh: Mesh):
         if x is None:
             return None
         if isinstance(x, QTensor):
-            # weight spec covers [L, K, N]; scale is [L, N]
-            ax = [s[i] if i < len(s) else None for i in range(3)]
+            # weight spec covers [..., K, N]; the per-output-channel scale
+            # drops the contracting axis K ([L, N] for dense weights,
+            # [L, E, N] for MoE expert stacks).
+            n = x.q.ndim
+            ax = [s[i] if i < len(s) else None for i in range(n)]
             q = jax.device_put(x.q, NamedSharding(mesh, s))
             sc = jax.device_put(
-                x.scale, NamedSharding(mesh, P(ax[0], ax[2])))
+                x.scale,
+                NamedSharding(mesh, P(*(ax[:n - 2] + [ax[n - 1]]))))
             return QTensor(q, sc, x.fmt)
         return jax.device_put(x, NamedSharding(mesh, s))
 
@@ -115,7 +127,7 @@ def data_specs() -> Dict[str, Any]:
     }
 
 
-def validate_tp_divisibility(spec: ModelSpec, tp: int) -> None:
+def validate_tp_divisibility(spec: ModelSpec, tp: int, ep: int = 1) -> None:
     """(parity: divisibility checks parallel_utils.py:11-40)."""
     assert spec.num_heads % tp == 0, (
         f"num_heads {spec.num_heads} not divisible by tp={tp}")
@@ -123,3 +135,6 @@ def validate_tp_divisibility(spec: ModelSpec, tp: int) -> None:
         f"kv heads {spec.num_kv_heads} incompatible with tp={tp}")
     assert spec.intermediate_size % tp == 0, (
         f"intermediate {spec.intermediate_size} not divisible by tp={tp}")
+    if ep > 1:
+        assert spec.num_experts and spec.num_experts % ep == 0, (
+            f"num_experts {spec.num_experts} not divisible by ep={ep}")

@@ -19,6 +19,8 @@ from mlio_tpu.models.spec import ModelSpec
 from mlio_tpu.ops.quant import QTensor, quantize
 
 QUANTIZABLE = ("wq", "wk", "wv", "wo", "w_up", "w_gate", "w_down")
+# MoE expert stacks carry an extra leading expert axis [L, E, K, N]
+QUANTIZABLE_MOE = ("moe_up", "moe_gate", "moe_down")
 
 
 def quantize_params(
@@ -43,6 +45,11 @@ def quantize_params(
         w = blocks.get(name)
         if w is not None and name not in skip:
             blocks[name] = qfn(w)
+    qfn_moe = jax.vmap(qfn)  # extra expert axis
+    for name in QUANTIZABLE_MOE:
+        w = blocks.get(name)
+        if w is not None and name not in skip:
+            blocks[name] = qfn_moe(w)
     out["blocks"] = blocks
     if quantize_lm_head and params.get("lm_head") is not None:
         out["lm_head"] = quantize(params["lm_head"], weights)
