@@ -246,9 +246,56 @@ def llama70b_fp8():
             "vs_baseline": round(tok_s / roofline, 3)}
 
 
+def moe_13b_int8():
+    """Sparse-MoE decode through the ragged grouped-matmul path
+    (ops/moe.py): a Mixtral-architecture model sized to fit one chip at
+    INT8 (8 experts x ~1.3B, top-2, ~11B total). At batch 8 x top-2 = 16
+    assignments over 8 experts, essentially every expert is touched every
+    step, so the HBM roofline reads ALL expert weights + KV — MoE buys
+    FLOPs, not decode bytes; the metric is how close the grouped-matmul
+    decode gets to that all-weights ceiling."""
+    import dataclasses
+
+    from mlio_tpu.models import Impl, get_spec, init_params
+    from mlio_tpu.runtime import generate
+    from mlio_tpu.runtime.quantization import quantize_params
+
+    spec = dataclasses.replace(
+        get_spec("mixtral-8x7b"), name="moe-13b",
+        hidden_size=2048, num_layers=24, num_heads=16, num_kv_heads=4,
+        intermediate_size=5632, vocab_size=32000)
+    params = quantize_params(
+        init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16), spec,
+        "int8")
+    B, CACHE = 8, 1024
+    PROMPT, N_LO, N_HI = 704, 32, 160
+    ids = jnp.zeros((B, PROMPT), jnp.int32)
+    impl = Impl(attention="flash", norm="fused", moe="ragged")
+
+    def run(new):
+        out = generate(params, spec, ids, max_new_tokens=new, impl=impl,
+                       cache_len=CACHE, cache_quant="int8")
+        return int(out[0, -1])
+
+    tok_s = B / _marginal_step(run, N_LO, N_HI)
+    avg_ctx = PROMPT + (N_LO + N_HI) // 2
+    h, i, l, E = (spec.hidden_size, spec.intermediate_size, spec.num_layers,
+                  spec.num_experts)
+    attn = l * (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h)
+    experts = l * E * 3 * h * i  # int8: 1 B/elem, all experts touched
+    router = l * h * E * 4
+    embed = 2 * spec.vocab_size * h * 2
+    kv = B * 2 * l * avg_ctx * spec.kv_dim  # int8 KV
+    roofline = HBM_GBPS * 1e9 / (attn + experts + router + embed + kv) * B
+    return {"metric": "moe13b_int8_decode_tokens_per_sec_per_chip",
+            "value": round(tok_s, 1), "unit": "tok/s/chip",
+            "vs_baseline": round(tok_s / roofline, 3)}
+
+
 SCENARIOS = {"llama7b-int8": llama7b_int8, "gpt2-int8": gpt2_int8,
              "ring-65k": ring_65k, "flash-65k": flash_65k,
-             "latency-4k": latency_4k, "llama70b-fp8": llama70b_fp8}
+             "latency-4k": latency_4k, "llama70b-fp8": llama70b_fp8,
+             "moe-13b-int8": moe_13b_int8}
 
 
 def main():

@@ -7,7 +7,8 @@ from mlio_tpu.runtime.kv_cache import (
     init_cache,
 )
 from mlio_tpu.runtime.generate import generate, greedy_generate
-from mlio_tpu.runtime.sampling import SamplingMethod, sample
+from mlio_tpu.runtime.sampling import SamplingMethod, probabilities, sample
+from mlio_tpu.runtime.speculative import speculative_generate
 from mlio_tpu.runtime.engine import InferenceEngine, Request
 from mlio_tpu.runtime.paged_forward import decode_paged, prefill_paged
 from mlio_tpu.runtime.quantization import (
@@ -39,6 +40,8 @@ __all__ = [
     "quantized_size_bytes",
     "calibrate_activation_scales",
     "sample",
+    "probabilities",
+    "speculative_generate",
     "CachingBlockManager",
     "PyScheduler",
     "make_scheduler",

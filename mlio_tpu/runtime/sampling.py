@@ -26,7 +26,24 @@ def sample(logits: jax.Array, rng: jax.Array, method: SamplingMethod) -> jax.Arr
     """logits [B, V] → token ids [B] (int32)."""
     if method.temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        rng, _filtered_logits(logits, method), axis=-1).astype(jnp.int32)
 
+
+def probabilities(logits: jax.Array, method: SamplingMethod) -> jax.Array:
+    """The distribution ``sample`` draws from, as probs [B, V] (fp32).
+
+    Greedy collapses to a one-hot at the argmax. Used by speculative
+    decoding's acceptance rule (runtime/speculative.py), which needs the
+    POST-filter target/draft distributions, not raw softmax."""
+    if method.temperature == 0.0:
+        return jax.nn.one_hot(jnp.argmax(logits, -1), logits.shape[-1],
+                              dtype=jnp.float32)
+    return jax.nn.softmax(_filtered_logits(logits, method), axis=-1)
+
+
+def _filtered_logits(logits: jax.Array, method: SamplingMethod) -> jax.Array:
+    """Temperature + top-k + top-p filtering shared by sample/probabilities."""
     logits = logits.astype(jnp.float32) / method.temperature
     if method.top_k is not None:
         top_vals, _ = jax.lax.top_k(logits, method.top_k)
@@ -40,4 +57,4 @@ def sample(logits: jax.Array, rng: jax.Array, method: SamplingMethod) -> jax.Arr
         cutoff_idx = jnp.sum(cum < method.top_p, axis=-1, keepdims=True)
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    return logits

@@ -1,0 +1,129 @@
+"""Speculative decoding: exactness vs vanilla greedy decode, both drafting
+modes, stochastic acceptance validity, and the cache-rewind invariant.
+
+Capability addition beyond the reference (its decode is strictly
+one-token-at-a-time, /root/reference/baseline/inference.py:1306+). The key
+property: the committed token stream is EXACTLY what the target model alone
+would produce under greedy decoding, regardless of how bad the draft is.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mlio_tpu.models import Impl, get_spec, init_params
+from mlio_tpu.runtime import SamplingMethod, greedy_generate
+from mlio_tpu.runtime.speculative import speculative_generate
+
+
+@pytest.fixture(scope="module")
+def target():
+    spec = get_spec("gpt2-tiny")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return spec, params
+
+
+@pytest.fixture(scope="module")
+def draft():
+    # a *different* (worse) model with the same vocab
+    import dataclasses
+
+    spec = dataclasses.replace(get_spec("gpt2-tiny"), num_layers=1,
+                               name="gpt2-draft")
+    params = init_params(spec, jax.random.PRNGKey(7), dtype=jnp.float32)
+    return spec, params
+
+
+@pytest.mark.parametrize("gamma", [1, 3, 5])
+def test_ngram_speculation_matches_greedy(target, gamma):
+    spec, params = target
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, spec.vocab_size, (2, 12)))
+    ref = greedy_generate(params, spec, ids, max_new_tokens=15)
+    out = speculative_generate(params, spec, ids, gamma=gamma,
+                               max_new_tokens=15)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_draft_model_speculation_matches_greedy(target, draft):
+    spec, params = target
+    dspec, dparams = draft
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(0, spec.vocab_size, (2, 10)))
+    ref = greedy_generate(params, spec, ids, max_new_tokens=13)
+    out = speculative_generate(params, spec, ids, draft_params=dparams,
+                               draft_spec=dspec, gamma=4, max_new_tokens=13)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_self_speculation_accepts_everything(target):
+    """Draft == target: every draft token must be accepted, so the loop
+    finishes in ~ceil(T/(gamma+1)) rounds — the rewind bookkeeping check."""
+    spec, params = target
+    ids = jnp.zeros((1, 8), jnp.int32)
+    out, stats = speculative_generate(
+        params, spec, ids, draft_params=params, draft_spec=spec, gamma=3,
+        max_new_tokens=12, return_stats=True)
+    ref = greedy_generate(params, spec, ids, max_new_tokens=12)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert stats["rounds"] == 3  # ceil(12 / 4)
+
+
+def test_repetitive_prompt_boosts_ngram_acceptance(target):
+    """Prompt-lookup drafting must exploit verbatim repetition: on a
+    looping prompt the n-gram draft hits and rounds < max_new_tokens."""
+    spec, params = target
+    loop = jnp.tile(jnp.arange(8, dtype=jnp.int32), 4)[None, :]  # 0..7 x4
+    out, stats = speculative_generate(params, spec, loop, gamma=4,
+                                      max_new_tokens=16, return_stats=True)
+    ref = greedy_generate(params, spec, loop, max_new_tokens=16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # 16 rounds would mean zero accepted drafts; require real acceptance
+    assert stats["rounds"] < 16
+
+
+def test_stochastic_speculation_valid(target, draft):
+    """Temperature sampling: output tokens in-range, loop terminates, and
+    with draft == target acceptance is near-total (p == q -> accept w.p. 1
+    up to float rounding)."""
+    spec, params = target
+    dspec, dparams = draft
+    ids = jnp.zeros((2, 6), jnp.int32)
+    method = SamplingMethod(temperature=0.8, top_k=32)
+    out = speculative_generate(params, spec, ids, draft_params=dparams,
+                               draft_spec=dspec, gamma=3, max_new_tokens=10,
+                               method=method, rng=jax.random.PRNGKey(3))
+    assert out.shape == (2, 16)
+    toks = np.asarray(out[:, 6:])
+    assert ((0 <= toks) & (toks < spec.vocab_size)).all()
+
+    out2, stats = speculative_generate(
+        params, spec, ids, draft_params=params, draft_spec=spec, gamma=3,
+        max_new_tokens=12, method=method, rng=jax.random.PRNGKey(4),
+        return_stats=True)
+    assert stats["rounds"] <= 6  # self-draft: ~every round commits gamma+1
+
+
+def test_batch_sync_exactness(target):
+    """Batched sequences with different acceptance lengths still each match
+    their own vanilla greedy stream (min-over-batch commits are exact)."""
+    spec, params = target
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, spec.vocab_size, (4, 9)))
+    ref = greedy_generate(params, spec, ids, max_new_tokens=11)
+    out = speculative_generate(params, spec, ids, gamma=3, max_new_tokens=11)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_probabilities_matches_sample_filtering():
+    from mlio_tpu.runtime import probabilities
+
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(3, 17)),
+                         jnp.float32)
+    p = probabilities(logits, SamplingMethod(temperature=0.0))
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(p, -1)),
+                                  np.asarray(jnp.argmax(logits, -1)))
+    m = SamplingMethod(temperature=0.7, top_k=5)
+    p = probabilities(logits, m)
+    np.testing.assert_allclose(np.asarray(p.sum(-1)), 1.0, rtol=1e-5)
+    assert int((np.asarray(p) > 0).sum(-1).max()) <= 5
