@@ -16,9 +16,25 @@ from mlio_tpu.profiling.bottleneck import (
     BottleneckReport,
     BottleneckType,
 )
+from mlio_tpu.profiling.kernel_profiler import (
+    KernelProfileResults,
+    KernelProfiler,
+)
+from mlio_tpu.profiling.xplane import (
+    OpStats,
+    OpTable,
+    op_table_from_trace,
+    parse_xspace,
+)
 from mlio_tpu.profiling import visualizer
 
 __all__ = [
+    "KernelProfileResults",
+    "KernelProfiler",
+    "OpStats",
+    "OpTable",
+    "op_table_from_trace",
+    "parse_xspace",
     "ProfileResults",
     "ProfilerConfig",
     "ProfilerWrapper",

@@ -167,6 +167,44 @@ class BottleneckAnalyzer:
         }
         return BottleneckReport(bottlenecks=bottlenecks, metrics=metrics)
 
+    def analyze_op_table(self, results, top_k: int = 5) -> BottleneckReport:
+        """Name the ops that dominate measured device time.
+
+        ``results`` is a KernelProfileResults (or an xplane OpTable). This
+        is the per-op half the reference's analyzer gets from kernel-name
+        tables (bottleneck_analyzer.py:225-297) — here each named op comes
+        with its measured share of device time, and low op-time coverage of
+        the wall clock is flagged as dispatch/host overhead.
+        """
+        table = getattr(results, "table", results)
+        wall_s = getattr(results, "wall_time_s", 0.0)
+        top = table.top(top_k)
+        bottlenecks = [
+            Bottleneck(
+                BottleneckType.MIXED, op.pct / 100.0,
+                f"op '{op.name}' {op.total_us:.0f}us total "
+                f"({op.count} calls, {op.avg_us:.1f}us avg, {op.pct:.1f}% "
+                "of device op time)",
+                _SUGGESTIONS[BottleneckType.MEMORY][:2]
+                + _SUGGESTIONS[BottleneckType.COMPUTE][:1])
+            for op in top
+        ]
+        covered = (min(1.0, table.total_us / 1e6 / wall_s)
+                   if wall_s else 1.0)
+        if wall_s and covered < 0.7:
+            bottlenecks.append(Bottleneck(
+                BottleneckType.OVERHEAD, 1.0 - covered,
+                f"device ops cover only {covered:.0%} of wall time — "
+                "dispatch gaps or host work dominate",
+                _SUGGESTIONS[BottleneckType.OVERHEAD]))
+        metrics = {
+            "device_op_time_ms": table.total_us / 1e3,
+            "wall_time_ms": wall_s * 1e3,
+            "op_coverage": covered,
+            "num_ops": float(len(table.ops)),
+        }
+        return BottleneckReport(bottlenecks=bottlenecks, metrics=metrics)
+
     def analyze_profile(self, profile_results) -> BottleneckReport:
         """Classify a ProfileResults (wall time + XLA cost analysis)."""
         cost = profile_results.cost

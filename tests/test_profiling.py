@@ -159,3 +159,95 @@ def test_visualizer_writes_pngs(tmp_path):
     paths = visualizer.save_all(res, tmp_path)
     for p in paths:
         assert (tmp_path / p.split("/")[-1]).exists()
+
+
+# ---------------------------------------------------------------------------
+# Per-op profiler (xplane trace -> op table), reference parity:
+# kernel_profiler.py:22-161 stats table + slow-kernel filter, and the
+# fault-injection validation idea from test_profiler.py:39-111.
+
+
+def test_kernel_profiler_names_injected_slow_op(tmp_path):
+    """A deliberately huge matmul among small ops must rank top-1."""
+    from mlio_tpu.profiling import BottleneckAnalyzer, KernelProfiler
+
+    big = jnp.ones((1024, 1024), jnp.float32)
+    small = jnp.ones((8, 8), jnp.float32)
+
+    @jax.jit
+    def fn(big, small):
+        # injected bottleneck: dominant-cost dot among trivially cheap ops
+        y = big @ big
+        z = small + small
+        return jnp.sum(y) + jnp.sum(z * 2.0)
+
+    prof = KernelProfiler(warmup=1, steps=3,
+                          trace_dir=str(tmp_path / "trace"))
+    res = prof.profile_function(fn, big, small)
+    if res is None:
+        pytest.skip("backend emitted no op-level trace")
+    assert res.ops, "per-op table is empty"
+    top = res.top(5)
+    assert any("dot" in o.name for o in top), \
+        f"injected dot not in top ops: {[o.name for o in top]}"
+    # the injected op must dominate measured device time
+    assert top[0].pct > 30.0
+
+    # slow-op filter keeps only the dominant op at a high threshold
+    slow = res.slow_ops(min_pct=30.0)
+    assert slow and all(o.pct >= 30.0 for o in slow)
+
+    # analyzer names top ops in its report
+    report = BottleneckAnalyzer().analyze_op_table(res, top_k=5)
+    assert report.bottlenecks
+    assert any("dot" in b.detail for b in report.bottlenecks)
+    txt = report.to_text()
+    assert "op '" in txt
+
+
+def test_kernel_profiler_segments_fallback():
+    """Segment-marginal fallback produces the same table shape."""
+    from mlio_tpu.profiling import KernelProfiler
+
+    w_big = jnp.ones((512, 512), jnp.float32)
+    w_small = jnp.ones((32, 32), jnp.float32)
+
+    def make_loop(w):
+        def make(n):
+            @jax.jit
+            def loop(x):
+                def step(x, _):
+                    return jnp.tanh(x @ w), None
+                x, _ = jax.lax.scan(step, x, None, length=n)
+                return jnp.sum(x)
+            x0 = jnp.ones((4, w.shape[0]), jnp.float32)
+            loop(x0)  # compile outside timing
+            return lambda: float(loop(x0))
+        return make
+
+    prof = KernelProfiler()
+    res = prof.profile_segments(
+        {"big_matmul": make_loop(w_big), "small_matmul": make_loop(w_small)},
+        lo=8, hi=40, reps=2)
+    assert res.source == "segments"
+    assert res.ops[0].name == "big_matmul"  # 512^2 dominates 32^2
+    assert abs(sum(o.pct for o in res.ops) - 100.0) < 1e-6
+
+
+def test_xplane_parser_roundtrip(tmp_path):
+    """Parser reads a real capture and finds named events."""
+    from mlio_tpu.profiling import op_table_from_trace, parse_xspace
+    from mlio_tpu.profiling.xplane import latest_xspace_path
+
+    x = jnp.ones((256, 256), jnp.float32)
+    f = jax.jit(lambda a: jnp.sum(a @ a))
+    f(x).block_until_ready()
+    with jax.profiler.trace(str(tmp_path)):
+        f(x).block_until_ready()
+    path = latest_xspace_path(str(tmp_path))
+    if path is None:
+        pytest.skip("no xplane emitted")
+    planes = parse_xspace(path)
+    assert planes and any(p.name for p in planes)
+    table = op_table_from_trace(str(tmp_path))
+    assert table is not None
