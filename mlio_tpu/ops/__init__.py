@@ -33,7 +33,7 @@ def _use_interpret(impl) -> bool:
 
 
 def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
-              bias=None, k_scale=None, v_scale=None, impl=None,
+              mask=None, bias=None, k_scale=None, v_scale=None, impl=None,
               kv_layout="bshd"):
     """Multi-head attention dispatcher. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D].
 
@@ -47,7 +47,7 @@ def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
         from mlio_tpu.ops import flash_attention as fa
         return fa.flash_attention(
             q, k, v, causal=causal, scale=scale, q_offset=q_offset,
-            kv_len=kv_len, k_scale=k_scale, v_scale=v_scale,
+            kv_len=kv_len, mask=mask, k_scale=k_scale, v_scale=v_scale,
             block_q=impl.block_q, block_kv=impl.block_kv,
             interpret=_use_interpret(impl), kv_layout=kv_layout)
     if kv_layout == "bhsd":  # non-flash paths take [B,Skv,Hkv,D]
@@ -56,7 +56,7 @@ def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
         if k_scale is not None:
             k_scale = k_scale.swapaxes(1, 2)
             v_scale = v_scale.swapaxes(1, 2)
-    if kind == "ring":
+    if kind == "ring" and mask is None:
         from mlio_tpu.ops import ring_attention as ra
         if k_scale is not None:
             from mlio_tpu.ops.quant import dequantize_kv
@@ -66,8 +66,8 @@ def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
             q, k, v, causal=causal, scale=scale, q_offset=q_offset,
             kv_len=kv_len, chunk_size=impl.ring_chunk)
     return attention_reference(q, k, v, causal=causal, scale=scale,
-                               q_offset=q_offset, kv_len=kv_len, bias=bias,
-                               k_scale=k_scale, v_scale=v_scale)
+                               q_offset=q_offset, kv_len=kv_len, mask=mask,
+                               bias=bias, k_scale=k_scale, v_scale=v_scale)
 
 
 def linear(x, w, bias=None, *, impl=None):

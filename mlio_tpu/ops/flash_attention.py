@@ -34,10 +34,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
-def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref,
-                      *rest, scale: float, block_kv: int, causal: bool,
+def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, *rest,
+                      scale: float, block_kv: int, causal: bool,
                       kv_super: int, sq: int, chunked: bool,
-                      with_stats: bool = False):
+                      with_stats: bool = False,
+                      mask_kind: Optional[str] = None):
+    if mask_kind is not None:
+        mask_ref, *rest = rest
+    else:
+        mask_ref = None
+    o_ref, *rest = rest
     if with_stats:
         lse_ref, *scratch = rest
     else:
@@ -80,11 +86,16 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref,
         # local (within-chunk) block limits
         limit = pl.cdiv(jnp.clip(tokens - chunk0, 0, kv_super), block_kv)
         # blocks strictly below the causal diagonal and fully inside kv_len
-        # need no masking at all — lean VPU path (no iota/where)
-        full_tokens = kvlen
-        if causal:
-            full_tokens = jnp.minimum(full_tokens, q_start + qoff)
-        full_limit = jnp.clip(full_tokens - chunk0, 0, kv_super) // block_kv
+        # need no masking at all — lean VPU path (no iota/where). With a
+        # user mask every block must take the masked path.
+        if mask_kind is None:
+            full_tokens = kvlen
+            if causal:
+                full_tokens = jnp.minimum(full_tokens, q_start + qoff)
+            full_limit = (jnp.clip(full_tokens - chunk0, 0, kv_super)
+                          // block_kv)
+        else:
+            full_limit = jnp.int32(0)
 
         row_abs = (q_start + qoff
                    + lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0))
@@ -102,6 +113,12 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref,
                 mask = col_abs < kvlen
                 if causal:
                     mask = jnp.logical_and(mask, row_abs >= col_abs)
+                if mask_kind == "key":
+                    km = mask_ref[0, 0, 0, pl.ds(j * block_kv, block_kv)]
+                    mask = jnp.logical_and(mask, km[None, :] != 0)
+                elif mask_kind == "full":
+                    mt = mask_ref[0, 0, :, pl.ds(j * block_kv, block_kv)]
+                    mask = jnp.logical_and(mask, mt != 0)
                 s = jnp.where(mask, s, NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -160,10 +177,10 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
-                          kscale_ref, vscale_ref, o_ref,
-                          *rest, scale: float,
+                          kscale_ref, vscale_ref, *rest, scale: float,
                           block_kv: int, causal: bool, kv_super: int,
-                          sq: int, chunked: bool, with_stats: bool = False):
+                          sq: int, chunked: bool, with_stats: bool = False,
+                          mask_kind: Optional[str] = None):
     """INT8-KV variant: k/v arrive as int8 with per-(token, head) scales.
 
     Dequantization is algebraically fused into the attention math so the MXU
@@ -174,6 +191,11 @@ def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
     capability (BASELINE.md; SURVEY.md §7 "fusing dequant into the attention
     inner loop").
     """
+    if mask_kind is not None:
+        mask_ref, *rest = rest
+    else:
+        mask_ref = None
+    o_ref, *rest = rest
     if with_stats:
         lse_ref, *scratch = rest
     else:
@@ -226,6 +248,12 @@ def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
             mask = col_abs < kvlen
             if causal:
                 mask = jnp.logical_and(mask, row_abs >= col_abs)
+            if mask_kind == "key":
+                km = mask_ref[0, 0, 0, pl.ds(j * block_kv, block_kv)]
+                mask = jnp.logical_and(mask, km[None, :] != 0)
+            elif mask_kind == "full":
+                mt = mask_ref[0, 0, :, pl.ds(j * block_kv, block_kv)]
+                mask = jnp.logical_and(mask, mt != 0)
             s = jnp.where(mask, s, NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -276,6 +304,38 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def canonicalize_mask(mask: jax.Array, B: int, Hq: int, Sq: int, Skv: int):
+    """Canonicalize a user attention mask (nonzero = attend).
+
+    Mirrors the reference's shape rules
+    (flash_attention_kernels.py:1232-1271):
+      [B, Skv]            key/padding mask (left- or right-padding)
+      [B, 1, Skv]         same
+      [B, Sq, Skv]        per-query mask
+      [B, Hq|1, Sq, Skv]  full per-head mask
+    Returns ("key", [B, Skv] int8) or ("full", [B, Hm, Sq, Skv] int8).
+    """
+    m = jnp.asarray(mask)
+    if m.ndim == 2:
+        if m.shape != (B, Skv):
+            raise ValueError(f"2D mask must be [batch, kv_len]; got "
+                             f"{m.shape} for B={B}, Skv={Skv}")
+        return "key", m.astype(jnp.int8)
+    if m.ndim == 3:
+        if m.shape[1] == 1 and m.shape == (B, 1, Skv):
+            return "key", m[:, 0].astype(jnp.int8)
+        if m.shape != (B, Sq, Skv):
+            raise ValueError(f"3D mask must be [B, Sq, Skv]; got {m.shape}")
+        return "full", m[:, None].astype(jnp.int8)
+    if m.ndim == 4:
+        if m.shape[0] != B or m.shape[1] not in (1, Hq) \
+                or m.shape[2:] != (Sq, Skv):
+            raise ValueError(f"4D mask must be [B, 1|Hq, Sq, Skv]; got "
+                             f"{m.shape}")
+        return "full", m.astype(jnp.int8)
+    raise ValueError(f"unsupported mask rank {m.ndim}")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv",
@@ -291,6 +351,7 @@ def flash_attention(
     scale: Optional[float] = None,
     q_offset=0,
     kv_len=None,
+    mask: Optional[jax.Array] = None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     block_q: Optional[int] = None,
@@ -304,6 +365,12 @@ def flash_attention(
 
     ``q_offset``: absolute position of q[:, 0] (decode with a cache).
     ``kv_len``: scalar or [B]; cache slots >= kv_len are masked out.
+    ``mask``: optional user attention mask (nonzero = attend), any of
+    [B,Skv] / [B,1,Skv] (key/padding mask — left-padding support), or
+    [B,Sq,Skv] / [B,1|Hq,Sq,Skv] (full mask — prefix-LM, block-diagonal
+    packing, bidirectional); combined with the causal/kv_len masks.
+    Parity: in-kernel mask tile loads, flash_attention_kernels.py:53-325
+    and canonicalization :1232-1271.
     ``kv_layout="bhsd"``: k/v arrive pre-transposed as [B,Hkv,Skv,D] (the
     contiguous decode-cache layout) with scales [B,Hkv,Skv] — skips the
     relayout the kernel would otherwise do per call.
@@ -381,6 +448,25 @@ def flash_attention(
 
     chunked = n_kv_chunks > 1
     kv_quant = k_scale is not None
+
+    # --- user mask: canonicalize + pad to the padded grid shapes ---
+    mask_kind = None
+    mask_arr = None
+    if mask is not None:
+        mask_kind, mask_arr = canonicalize_mask(mask, B, Hq, Sq, Skv)
+        if mask_kind == "key":
+            # [B, Skv] -> [B, 1, 1, skv_pad]; pad = attend (kvlen masks it)
+            if skv_pad != Skv:
+                mask_arr = jnp.pad(mask_arr, ((0, 0), (0, skv_pad - Skv)),
+                                   constant_values=1)
+            mask_arr = mask_arr[:, None, None, :]
+        else:
+            Hm = mask_arr.shape[1]
+            pad_q, pad_k = sq_pad - Sq, skv_pad - Skv
+            if pad_q or pad_k:
+                mask_arr = jnp.pad(
+                    mask_arr, ((0, 0), (0, 0), (0, pad_q), (0, pad_k)),
+                    constant_values=1)
     out_shape = jax.ShapeDtypeStruct((B, Hq, sq_pad, D), q.dtype)
     if return_stats:
         out_shape = (out_shape,
@@ -421,6 +507,18 @@ def flash_attention(
         out_spec = pl.BlockSpec((1, 1, bq, D),
                                 lambda b, h, i, j, *_: (b, h, i, 0))
         lse_spec = pl.BlockSpec((1, 1, bq), lambda b, h, i, j, *_: (b, h, i))
+        if mask_kind == "key":
+            def mask_idx(b, h, i, j, kvlen_ref, qoff_ref):
+                _, _, jj, _ = kv_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref)
+                return (b, 0, 0, jj)
+            mask_spec = pl.BlockSpec((1, 1, 1, kv_super), mask_idx)
+        elif mask_kind == "full":
+            _hm = mask_arr.shape[1]
+
+            def mask_idx(b, h, i, j, kvlen_ref, qoff_ref):
+                _, _, jj, _ = kv_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref)
+                return (b, h if _hm > 1 else 0, i, jj)
+            mask_spec = pl.BlockSpec((1, 1, bq, kv_super), mask_idx)
         # (m, l, acc) carried across kv-chunk grid steps
         scratch = [pltpu.VMEM((bq, 1), jnp.float32),
                    pltpu.VMEM((bq, 1), jnp.float32),
@@ -438,6 +536,14 @@ def flash_attention(
         out_spec = pl.BlockSpec((1, 1, bq, D),
                                 lambda b, h, i, *_: (b, h, i, 0))
         lse_spec = pl.BlockSpec((1, 1, bq), lambda b, h, i, *_: (b, h, i))
+        if mask_kind == "key":
+            mask_spec = pl.BlockSpec((1, 1, 1, kv_super),
+                                     lambda b, h, i, *_: (b, 0, 0, 0))
+        elif mask_kind == "full":
+            _hm = mask_arr.shape[1]
+            mask_spec = pl.BlockSpec(
+                (1, 1, bq, kv_super),
+                lambda b, h, i, *_: (b, h if _hm > 1 else 0, i, 0))
         scratch = []
 
     kv_spec = pl.BlockSpec((1, 1, kv_super, D), kv_chunk_idx)
@@ -465,38 +571,52 @@ def flash_attention(
                           constant_values=1.0)
             vsc = jnp.pad(vsc, ((0, 0), (0, 0), (0, 0), (0, extra)),
                           constant_values=1.0)
+        if mask_kind == "full":
+            raise NotImplementedError(
+                "full [.., Sq, Skv] masks are not supported with an INT8 KV "
+                "cache; use a key/padding mask or a bf16 cache")
         sc_spec = pl.BlockSpec((1, 1, 1, kv_super), sc_chunk_idx)
         kernel = functools.partial(
             _flash_fwd_kernel_kvq, scale=scale, block_kv=bkv, causal=causal,
             kv_super=kv_super, sq=Sq, chunked=chunked,
-            with_stats=return_stats)
+            with_stats=return_stats, mask_kind=mask_kind)
+        in_specs = [q_spec, kv_spec, kv_spec, sc_spec, sc_spec]
+        args = [kvlen_arr, qoff_arr, qt, kt, vt, ksc, vsc]
+        if mask_kind is not None:
+            in_specs.append(mask_spec)
+            args.append(mask_arr)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=grid,
-                in_specs=[q_spec, kv_spec, kv_spec, sc_spec, sc_spec],
+                in_specs=in_specs,
                 out_specs=(out_spec, lse_spec) if return_stats else out_spec,
                 scratch_shapes=scratch,
             ),
             **common,
-        )(kvlen_arr, qoff_arr, qt, kt, vt, ksc, vsc)
+        )(*args)
     else:
         kernel = functools.partial(
             _flash_fwd_kernel, scale=scale, block_kv=bkv, causal=causal,
             kv_super=kv_super, sq=Sq, chunked=chunked,
-            with_stats=return_stats)
+            with_stats=return_stats, mask_kind=mask_kind)
+        in_specs = [q_spec, kv_spec, kv_spec]
+        args = [kvlen_arr, qoff_arr, qt, kt, vt]
+        if mask_kind is not None:
+            in_specs.append(mask_spec)
+            args.append(mask_arr)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=grid,
-                in_specs=[q_spec, kv_spec, kv_spec],
+                in_specs=in_specs,
                 out_specs=(out_spec, lse_spec) if return_stats else out_spec,
                 scratch_shapes=scratch,
             ),
             **common,
-        )(kvlen_arr, qoff_arr, qt, kt, vt)
+        )(*args)
 
     if return_stats:
         out, lse = out

@@ -27,11 +27,16 @@ def attention_reference(
     scale: Optional[float] = None,
     q_offset=0,
     kv_len=None,
+    mask: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dense softmax attention with GQA, causal masking and KV-length masking.
+
+    ``mask`` (nonzero = attend) accepts the same shapes as
+    flash_attention.canonicalize_mask: [B,Skv], [B,1,Skv], [B,Sq,Skv],
+    [B,1|Hq,Sq,Skv].
 
     ``q_offset`` is the absolute position of q[:, 0] (for decode steps where
     the query sits at the end of the cached context). ``kv_len`` masks cache
@@ -59,6 +64,7 @@ def attention_reference(
     # [B, H, Sq, Skv]
     scores = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
 
+    user_mask = mask
     mask = None
     if causal:
         q_pos = jnp.arange(Sq)[:, None] + q_offset
@@ -74,6 +80,12 @@ def attention_reference(
             valid = jnp.arange(Skv)[None, :] < kv_len[:, None]
             valid = valid[:, None, None, :]
         mask = valid if mask is None else jnp.logical_and(mask, valid)
+    if user_mask is not None:
+        from mlio_tpu.ops.flash_attention import canonicalize_mask
+
+        kind, m = canonicalize_mask(user_mask, B, Hq, Sq, Skv)
+        um = (m[:, None, None, :] if kind == "key" else m) != 0
+        mask = um if mask is None else jnp.logical_and(mask, um)
     if mask is not None:
         scores = jnp.where(mask, scores, -jnp.inf)
     if bias is not None:

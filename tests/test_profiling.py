@@ -209,8 +209,8 @@ def test_kernel_profiler_segments_fallback():
     """Segment-marginal fallback produces the same table shape."""
     from mlio_tpu.profiling import KernelProfiler
 
-    w_big = jnp.ones((512, 512), jnp.float32)
-    w_small = jnp.ones((32, 32), jnp.float32)
+    w_big = jnp.ones((1024, 1024), jnp.float32)
+    w_small = jnp.ones((8, 8), jnp.float32)
 
     def make_loop(w):
         def make(n):
@@ -228,9 +228,9 @@ def test_kernel_profiler_segments_fallback():
     prof = KernelProfiler()
     res = prof.profile_segments(
         {"big_matmul": make_loop(w_big), "small_matmul": make_loop(w_small)},
-        lo=8, hi=40, reps=2)
+        lo=8, hi=40, reps=4)
     assert res.source == "segments"
-    assert res.ops[0].name == "big_matmul"  # 512^2 dominates 32^2
+    assert res.ops[0].name == "big_matmul"  # 1024^2 dominates 8^2
     assert abs(sum(o.pct for o in res.ops) - 100.0) < 1e-6
 
 
