@@ -29,11 +29,18 @@ from jax.experimental.pallas import tpu as pltpu
 class QTensor(NamedTuple):
     """Quantized weight: payload [K, N] (int8 / packed int4 / fp8) +
     per-output-channel scale [N]. Registered pytree (NamedTuple) so it flows
-    through jit/scan like any array leaf."""
+    through jit/scan like any array leaf.
+
+    ``act_scale`` (optional, static-calibrated) marks the weight for the
+    W8A8 path: activations are quantized to int8 with this scale and the
+    matmul runs int8 x int8 -> int32 on the MXU (2x bf16 MXU throughput;
+    parity: the reference's FX static-int8 intent, inference.py:467-519).
+    """
 
     q: jax.Array
     scale: jax.Array
     fmt: str = "int8"  # static: "int8" | "int4" | "fp8"
+    act_scale: Optional[jax.Array] = None  # scalar (per layer via stacking)
 
     @property
     def in_features(self) -> int:
@@ -48,8 +55,8 @@ class QTensor(NamedTuple):
 # must stay static metadata — register explicitly.
 jax.tree_util.register_pytree_node(
     QTensor,
-    lambda t: ((t.q, t.scale), t.fmt),
-    lambda fmt, children: QTensor(children[0], children[1], fmt),
+    lambda t: ((t.q, t.scale, t.act_scale), t.fmt),
+    lambda fmt, children: QTensor(children[0], children[1], fmt, children[2]),
 )
 
 
@@ -302,10 +309,30 @@ def quant_matmul(
 # Linear dispatch (dense or quantized)
 # ---------------------------------------------------------------------------
 
+def w8a8_matmul(x: jax.Array, w: "QTensor") -> jax.Array:
+    """Static-scale W8A8: int8 activations x int8 weights -> int32 on the
+    MXU, rescaled by (act_scale * weight_scale) after accumulation.
+
+    The activation quantizer uses the CALIBRATED static scale (see
+    runtime.quantization.calibrate_activation_scales), matching the
+    reference's FX static-int8 recipe (inference.py:467-519) rather than
+    dynamic per-call ranges — no data-dependent reductions in the hot path.
+    """
+    s_x = w.act_scale.astype(jnp.float32)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                   -127, 127).astype(jnp.int8)
+    y = lax.dot_general(x_q, w.q, (((x.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32)
+            * (s_x * w.scale.astype(jnp.float32))).astype(x.dtype)
+
+
 def linear(x: jax.Array, w, bias=None, *, interpret: bool = False) -> jax.Array:
     """x @ w (+ bias) where w is a plain array or a QTensor."""
     if isinstance(w, QTensor):
-        if interpret or w.fmt == "fp8":
+        if w.act_scale is not None and w.fmt == "int8":
+            out = w8a8_matmul(x, w)
+        elif interpret or w.fmt == "fp8":
             # fp8 dequant matmul goes through XLA (bf16 upcast fuses fine);
             # interpret mode avoids the Pallas path entirely.
             out = x @ dequantize(w, x.dtype)

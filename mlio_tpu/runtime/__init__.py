@@ -12,6 +12,7 @@ from mlio_tpu.runtime.speculative import speculative_generate
 from mlio_tpu.runtime.engine import InferenceEngine, Request
 from mlio_tpu.runtime.paged_forward import decode_paged, prefill_paged
 from mlio_tpu.runtime.quantization import (
+    apply_activation_scales,
     calibrate_activation_scales,
     quantize_params,
     quantized_size_bytes,
@@ -39,6 +40,7 @@ __all__ = [
     "quantize_params",
     "quantized_size_bytes",
     "calibrate_activation_scales",
+    "apply_activation_scales",
     "sample",
     "probabilities",
     "speculative_generate",

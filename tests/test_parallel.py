@@ -262,3 +262,16 @@ def test_ring_cross_attention_matches_dense():
     ref = attention_reference(q, k, v, causal=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gather_sequence_stays_on_device():
+    """gather_sequence is a mesh all-gather, not a host fetch (r1 weak #9)."""
+    from mlio_tpu.parallel import gather_sequence, make_mesh, scatter_sequence
+
+    mesh = make_mesh(seq=4)
+    x = jnp.arange(4 * 8 * 16, dtype=jnp.float32).reshape(4, 8, 16)
+    xs = scatter_sequence(x, mesh, dim=1)
+    g = gather_sequence(xs)
+    assert isinstance(g, jax.Array)  # device array, not numpy
+    assert g.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(x))
