@@ -251,3 +251,30 @@ def test_xplane_parser_roundtrip(tmp_path):
     assert planes and any(p.name for p in planes)
     table = op_table_from_trace(str(tmp_path))
     assert table is not None
+
+
+def test_op_visualizations(tmp_path):
+    """Per-op breakdown, comparison, and timeline plots render from real
+    trace captures (parity: profile_visualizer.py:122-210, 403-660)."""
+    from mlio_tpu.profiling import KernelProfiler, visualizer
+    from mlio_tpu.profiling.xplane import latest_xspace_path, parse_xspace
+
+    x = jnp.ones((512, 512), jnp.float32)
+
+    @jax.jit
+    def fn(a):
+        return jnp.sum(a @ a) + jnp.sum(jnp.tanh(a))
+
+    prof = KernelProfiler(warmup=1, steps=2, trace_dir=str(tmp_path / "t"))
+    res = prof.profile_function(fn, x)
+    if res is None:
+        pytest.skip("no op-level trace on this backend")
+    p1 = visualizer.plot_op_breakdown(res.table, tmp_path / "ops.png")
+    p2 = visualizer.plot_op_comparison(res.table, res.table,
+                                       tmp_path / "cmp.png",
+                                       label_a="before", label_b="after")
+    planes = parse_xspace(latest_xspace_path(str(tmp_path / "t")))
+    p3 = visualizer.plot_op_timeline(planes, tmp_path / "tl.png")
+    for p in (p1, p2, p3):
+        import os
+        assert os.path.exists(p) and os.path.getsize(p) > 1000
