@@ -292,10 +292,155 @@ def moe_13b_int8():
             "vs_baseline": round(tok_s / roofline, 3)}
 
 
+def _quantize_inplace(params, fmt):
+    """Destructively quantize projection weights so the bf16 originals are
+    freed leaf-by-leaf (peak device memory = model + ONE quantized leaf,
+    which is what lets the 7B-class gate run on a 16 GB chip)."""
+    import jax
+
+    from mlio_tpu.ops.quant import quantize
+    from mlio_tpu.runtime.quantization import QUANTIZABLE
+
+    blocks = params["blocks"]
+    qfn = jax.jit(jax.vmap(lambda w: quantize(w, fmt)))
+    for name in QUANTIZABLE:
+        w = blocks.get(name)
+        if w is not None:
+            blocks[name] = jax.block_until_ready(qfn(w))
+            del w
+    return params
+
+
+def ppl_gate(shapes=(('gpt2-xl', 4, 512), ('llama2-7b', 2, 512))):
+    """INT8/INT4/FP8 perplexity-delta gate at GPT-2-XL and 7B-class shapes
+    on the real chip (BASELINE.md: ≤0.1 ppl delta at INT8; reference gate
+    definition mirrored by benchmarks/metrics.py:118-140).
+
+    Weights are random fan-in-scaled (this environment is offline — no
+    pretrained checkpoints), so the *relative* delta is the meaningful
+    number: 0.1 ppl on a trained model's ~20 ppl is 0.5%. Both are
+    reported; vs_baseline is 1.0 when the relative INT8 delta ≤ 0.5%.
+    """
+    import gc
+
+    from mlio_tpu.benchmarks.metrics import perplexity
+    from mlio_tpu.models import Impl, get_spec, init_params
+    from mlio_tpu.models.transformer import forward
+
+    results = {}
+    for preset, B, S in shapes:
+        spec = get_spec(preset)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (B, S + 1), 0,
+                                 spec.vocab_size, jnp.int32)
+        inputs, targets = ids[:, :-1], ids[:, 1:]
+        fwd = jax.jit(lambda p: forward(
+            p, spec, inputs, impl=Impl(attention="flash", norm="fused")
+            if jax.default_backend() == "tpu" else Impl())[0])
+
+        def fresh():
+            return init_params(spec, jax.random.PRNGKey(0),
+                               dtype=jnp.bfloat16)
+
+        entry = {}
+        params = fresh()
+        entry["bf16"] = perplexity(fwd(params), targets)
+        for fmt in ("int8", "int4", "fp8"):
+            params = _quantize_inplace(params, fmt)  # consumes the bf16
+            entry[fmt] = perplexity(fwd(params), targets)
+            del params
+            gc.collect()
+            if fmt != "fp8":  # re-init the bf16 master (same PRNG key)
+                params = fresh()
+        results[preset] = {
+            "ppl_bf16": round(entry["bf16"], 3),
+            **{f"delta_{f}": round(entry[f] - entry["bf16"], 4)
+               for f in ("int8", "int4", "fp8")},
+            **{f"rel_delta_{f}": round(
+                (entry[f] - entry["bf16"]) / entry["bf16"], 6)
+               for f in ("int8", "int4", "fp8")},
+        }
+    worst_rel = max(abs(results[p]["rel_delta_int8"]) for p in results)
+    return {"metric": "int8_ppl_relative_delta_worst",
+            "value": round(worst_rel, 6), "unit": "fraction",
+            "vs_baseline": 1.0 if worst_rel <= 0.005 else
+            round(0.005 / max(worst_rel, 1e-12), 3),
+            "detail": results}
+
+
+def spec_decode(model='gpt2-medium', new_tokens=256, draft_layers=8):
+    """Speculative decoding on the chip (VERDICT r1 #9): end-to-end speedup
+    + tokens/round vs vanilla decode, for (a) n-gram prompt-lookup on a
+    repetitive prompt (the favorable workload: code/extraction-like), and
+    (b) a layer-truncated draft model (honest acceptance on random
+    weights). Exactness is already pytest-verified (tests/)."""
+    import dataclasses
+
+    from mlio_tpu.models import Impl, get_spec, init_params
+    from mlio_tpu.runtime import generate
+    from mlio_tpu.runtime.speculative import speculative_generate
+
+    spec = get_spec(model)
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    impl = (Impl(attention="flash", norm="fused")
+            if jax.default_backend() == "tpu" else Impl())
+    B, NEW = 1, new_tokens
+    # repetitive prompt: 64-token motif tiled 8x (prompt-lookup's home turf)
+    motif = jax.random.randint(jax.random.PRNGKey(2), (1, 64), 0,
+                               spec.vocab_size, jnp.int32)
+    ids = jnp.tile(motif, (B, 8))
+
+    def vanilla():
+        out = generate(params, spec, ids, max_new_tokens=NEW, impl=impl,
+                       cache_len=1024)
+        return int(out[0, -1])
+
+    # draft = first 8 of 24 layers (early-exit draft, shares no extra mem)
+    dspec = dataclasses.replace(spec, name="gpt2-medium-draft8",
+                                num_layers=8)
+    dparams = dict(params)
+    dparams["blocks"] = {k: (v[:8] if v is not None else None)
+                         for k, v in params["blocks"].items()}
+
+    st_lookup = {}
+    st_draft = {}
+
+    def lookup_run():
+        o, st = speculative_generate(
+            params, spec, ids, gamma=6, max_new_tokens=NEW, impl=impl,
+            cache_len=1024, return_stats=True)
+        st_lookup.update(st)
+        return int(o[0, -1])
+
+    def draft_run():
+        o, st = speculative_generate(
+            params, spec, ids, draft_params=dparams, draft_spec=dspec,
+            gamma=4, max_new_tokens=NEW, impl=impl, cache_len=1024,
+            return_stats=True)
+        st_draft.update(st)
+        return int(o[0, -1])
+
+    t_van = _time(vanilla, warm=2)
+    t_lookup = _time(lookup_run, warm=1)
+    t_draft = _time(draft_run, warm=1)
+    return {"metric": "speculative_prompt_lookup_speedup",
+            "value": round(t_van / t_lookup, 3), "unit": "x_vs_vanilla",
+            "vs_baseline": round(t_van / t_lookup / 1.3, 3),
+            "detail": {
+                "vanilla_s": round(t_van, 3),
+                "prompt_lookup": {"s": round(t_lookup, 3),
+                                  **{k: round(v, 2) if isinstance(v, float)
+                                     else v for k, v in st_lookup.items()}},
+                "draft_model": {"s": round(t_draft, 3),
+                                "speedup": round(t_van / t_draft, 3),
+                                **{k: round(v, 2) if isinstance(v, float)
+                                   else v for k, v in st_draft.items()}}}}
+
+
 SCENARIOS = {"llama7b-int8": llama7b_int8, "gpt2-int8": gpt2_int8,
              "ring-65k": ring_65k, "flash-65k": flash_65k,
              "latency-4k": latency_4k, "llama70b-fp8": llama70b_fp8,
-             "moe-13b-int8": moe_13b_int8}
+             "moe-13b-int8": moe_13b_int8, "ppl-gate": ppl_gate,
+             "spec-decode": spec_decode}
 
 
 def main():

@@ -1,0 +1,197 @@
+"""Compile-time tile autotuning for the Pallas kernels.
+
+Parity: the reference autotunes its Triton flash-attention kernel over six
+block configs keyed on shape+flags (@triton.autotune,
+/root/reference/kernels/triton/flash_attention_kernels.py:39-52). Triton can
+re-time candidates at every launch; TPU Pallas tile sizes are *static* under
+jit, so the TPU-native shape of the same capability is an explicit offline
+tuning step:
+
+  * ``tune_flash(...)`` times candidate (block_q, block_kv) pairs eagerly on
+    the real device for one shape class and records the winner;
+  * the persistent table (``autotune_table.json`` next to this file, plus an
+    optional user cache at ``$MLIO_AUTOTUNE_CACHE``) is consulted by
+    ``flash_attention`` at trace time whenever the caller did not pin block
+    sizes — so tuned choices apply to every jitted model automatically;
+  * ``python -m mlio_tpu.ops.autotune`` tunes the standard shape suite
+    (prefill 1K/2K/4K, the 65K chunked long-context path) and prints a table.
+
+Shape classes bucket the sequence lengths to powers of two: tile choice is
+insensitive to small Sq/Skv changes but strongly sensitive to the
+chunked-vs-resident KV regime, head dim, and dtype.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+_TABLE_PATH = os.path.join(os.path.dirname(__file__), "autotune_table.json")
+
+
+def _bucket(n: int) -> int:
+    """Round up to the next power of two (shape-class bucketing)."""
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+def shape_class(kind: str, sq: int, skv: int, d: int, dtype: str,
+                causal: bool, chunked: bool) -> str:
+    return (f"{kind}/sq{_bucket(sq)}/skv{_bucket(skv)}/d{d}/{dtype}/"
+            f"{'causal' if causal else 'full'}/"
+            f"{'chunked' if chunked else 'resident'}")
+
+
+@functools.lru_cache(maxsize=None)
+def _load_tables() -> Dict[str, Dict]:
+    table: Dict[str, Dict] = {}
+    for path in (_TABLE_PATH, os.environ.get("MLIO_AUTOTUNE_CACHE", "")):
+        if path and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    table.update(json.load(f))
+            except (OSError, json.JSONDecodeError):
+                pass
+    return table
+
+
+def lookup(kind: str, sq: int, skv: int, d: int, dtype: str,
+           causal: bool, chunked: bool) -> Optional[Dict]:
+    """Tuned config for a shape class, or None (trace-time, pure Python)."""
+    return _load_tables().get(
+        shape_class(kind, sq, skv, d, dtype, causal, chunked))
+
+
+def _save(key: str, entry: Dict, path: Optional[str] = None) -> None:
+    path = path or os.environ.get("MLIO_AUTOTUNE_CACHE") or _TABLE_PATH
+    table = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                table = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
+    table[key] = entry
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1, sort_keys=True)
+    _load_tables.cache_clear()
+
+
+# ---------------------------------------------------------------------------
+# Flash-attention forward tuning
+# ---------------------------------------------------------------------------
+
+#: Candidate (block_q, block_kv) tiles. The MXU wants >=128 on both sides;
+#: 8-sublane minimum on q. Mirrors the spirit of the reference's six
+#: configs (flash_attention_kernels.py:39-52) at TPU-native sizes.
+FLASH_CANDIDATES: Tuple[Tuple[int, int], ...] = (
+    (128, 256), (128, 512), (256, 256), (256, 512), (256, 1024),
+    (512, 512), (512, 1024), (512, 2048), (1024, 1024), (1024, 2048),
+)
+
+
+def _median_time(fn, reps: int = 5) -> float:
+    import jax
+
+    jax.block_until_ready(fn())  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def tune_flash(
+    batch: int, sq: int, skv: int, num_heads: int, num_kv_heads: int,
+    head_dim: int, dtype=None, causal: bool = True,
+    candidates: Optional[List[Tuple[int, int]]] = None,
+    save: bool = True, save_path: Optional[str] = None,
+    verbose: bool = False,
+) -> Dict:
+    """Time flash-attention tile candidates on the current device and record
+    the winner for this shape class. Returns the winning entry
+    ``{"block_q", "block_kv", "tflops", "ms"}``."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlio_tpu.ops.flash_attention import flash_attention
+
+    dtype = dtype or jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (batch, sq, num_heads, head_dim), dtype)
+    k = jax.random.normal(kk, (batch, skv, num_kv_heads, head_dim), dtype)
+    v = jax.random.normal(kv_, (batch, skv, num_kv_heads, head_dim), dtype)
+
+    # same regime split the kernel wrapper uses (flash_attention.py)
+    chunked = (2 * -(-skv // 128) * 128 * max(head_dim, 128)
+               * jnp.dtype(dtype).itemsize > 6 << 20)
+    flops = 2 * 2 * batch * num_heads * sq * skv * head_dim
+    if causal and sq == skv:
+        flops //= 2
+
+    best: Optional[Dict] = None
+    for bq, bkv in candidates or FLASH_CANDIDATES:
+        if bq > _bucket(sq) or bkv > _bucket(skv):
+            continue
+        try:
+            dt = _median_time(lambda bq=bq, bkv=bkv: flash_attention(
+                q, k, v, causal=causal, block_q=bq, block_kv=bkv))
+        except Exception as e:  # VMEM overflow / unsupported tiling
+            if verbose:
+                print(f"  ({bq:5d},{bkv:5d})  failed: {type(e).__name__}")
+            continue
+        tf = flops / dt / 1e12
+        if verbose:
+            print(f"  ({bq:5d},{bkv:5d})  {dt * 1e3:8.3f} ms  {tf:6.1f} TF/s")
+        if best is None or dt < best["_dt"]:
+            best = {"block_q": bq, "block_kv": bkv, "_dt": dt,
+                    "ms": round(dt * 1e3, 4), "tflops": round(tf, 1)}
+    if best is None:
+        raise RuntimeError("no tile candidate compiled for this shape")
+    best.pop("_dt")
+    if save:
+        keyname = shape_class("flash_fwd", sq, skv, head_dim,
+                              jnp.dtype(dtype).name, causal, bool(chunked))
+        _save(keyname, best, save_path)
+    return best
+
+
+STANDARD_SUITE = (
+    # (batch, sq, skv, heads, kv_heads, head_dim) — GPT-2 / Llama prefill
+    (8, 1024, 1024, 12, 12, 64),
+    (4, 2048, 2048, 32, 32, 128),
+    (1, 4096, 4096, 32, 32, 128),
+    (1, 8192, 8192, 8, 8, 128),
+    (1, 65536, 65536, 4, 4, 128),   # chunked long-context path
+)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    import argparse
+
+    import jax
+
+    p = argparse.ArgumentParser(description="Tune flash-attention tiles")
+    p.add_argument("--shape", action="append", default=None,
+                   help="B,Sq,Skv,H,Hkv,D (repeatable); default = suite")
+    p.add_argument("--no-save", action="store_true")
+    args = p.parse_args(argv)
+    shapes = ([tuple(int(x) for x in s.split(",")) for s in args.shape]
+              if args.shape else STANDARD_SUITE)
+    print(f"# backend={jax.default_backend()}")
+    for b, sq, skv, h, hkv, d in shapes:
+        print(f"flash_fwd B={b} Sq={sq} Skv={skv} H={h}/{hkv} D={d}:")
+        best = tune_flash(b, sq, skv, h, hkv, d, save=not args.no_save,
+                          verbose=True)
+        print(f"  -> best ({best['block_q']},{best['block_kv']}) "
+              f"{best['tflops']} TF/s")
+
+
+if __name__ == "__main__":
+    main()

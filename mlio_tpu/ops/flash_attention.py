@@ -399,10 +399,20 @@ def flash_attention(
     # and fewer chunk-boundary masked blocks.
     chunk_needed = (2 * _round_up(Skv, 128) * _round_up(D, 128)
                     * k.dtype.itemsize > kv_vmem_budget)
-    if block_q is None:
-        block_q = 512 if chunk_needed else 256
-    if block_kv is None:
-        block_kv = 1024 if chunk_needed else 512
+    if block_q is None or block_kv is None:
+        # Tuned-table consult (trace-time): the TPU analogue of the
+        # reference's @triton.autotune (flash_attention_kernels.py:39-52).
+        # ops/autotune.py records measured winners per shape class.
+        from mlio_tpu.ops.autotune import lookup as _tuned
+
+        entry = _tuned("flash_fwd", Sq, Skv, D, jnp.dtype(q.dtype).name,
+                       causal, chunk_needed)
+        if block_q is None:
+            block_q = (entry or {}).get(
+                "block_q", 512 if chunk_needed else 256)
+        if block_kv is None:
+            block_kv = (entry or {}).get(
+                "block_kv", 1024 if chunk_needed else 512)
     bq = min(block_q, _round_up(Sq, 8))
     bkv = min(block_kv, _round_up(Skv, 128))
 
