@@ -34,22 +34,29 @@ def _use_interpret(impl) -> bool:
 
 def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
               mask=None, bias=None, k_scale=None, v_scale=None, impl=None,
-              kv_layout="bshd"):
+              kv_layout="bshd", dropout_rate=0.0, dropout_seed=0,
+              return_probs=False):
     """Multi-head attention dispatcher. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D].
 
     ``k_scale``/``v_scale`` [B,Skv,Hkv] mark an INT8-quantized KV cache;
     the flash kernel fuses the dequant, the dense path dequantizes upfront.
     ``kv_layout="bhsd"``: k/v (and scales) arrive pre-transposed as
     [B,Hkv,Skv,D] / [B,Hkv,Skv] — the contiguous decode-cache layout.
+    ``dropout_rate``/``dropout_seed``: position-hashed attention dropout
+    (ops/dropmask.py), identical masks on every path. ``return_probs``
+    routes through the dense reference and also returns the [B,Hq,Sq,Skv]
+    softmax matrix (the reference's return_softmax debug surface — O(S^2)
+    by nature, so no flash variant exists by design).
     """
     kind = impl.attention if impl is not None else "dense"
-    if kind == "flash":
+    if kind == "flash" and not return_probs:
         from mlio_tpu.ops import flash_attention as fa
         return fa.flash_attention(
             q, k, v, causal=causal, scale=scale, q_offset=q_offset,
             kv_len=kv_len, mask=mask, k_scale=k_scale, v_scale=v_scale,
             block_q=impl.block_q, block_kv=impl.block_kv,
-            interpret=_use_interpret(impl), kv_layout=kv_layout)
+            interpret=_use_interpret(impl), kv_layout=kv_layout,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed)
     if kv_layout == "bhsd":  # non-flash paths take [B,Skv,Hkv,D]
         k = k.swapaxes(1, 2)
         v = v.swapaxes(1, 2)
@@ -67,7 +74,10 @@ def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
             kv_len=kv_len, chunk_size=impl.ring_chunk)
     return attention_reference(q, k, v, causal=causal, scale=scale,
                                q_offset=q_offset, kv_len=kv_len, mask=mask,
-                               bias=bias, k_scale=k_scale, v_scale=v_scale)
+                               bias=bias, k_scale=k_scale, v_scale=v_scale,
+                               dropout_rate=dropout_rate,
+                               dropout_seed=dropout_seed,
+                               return_probs=return_probs)
 
 
 def linear(x, w, bias=None, *, impl=None):

@@ -107,6 +107,7 @@ _NAMES = ["x", "cosq", "sinq", "cosk", "sink", "rotq", "rotk",
           "wv", "sv", "bv", "wo", "so", "bo", "ln2_scale", "ln2_bias",
           "w_up", "s_up", "b_up", "w_gate", "s_gate", "b_gate",
           "w_down", "s_down", "b_down",
+          "final_scale", "final_bias", "lm_w", "lm_b",
           "k_cache", "v_cache", "ks_cache", "vs_cache"]
 
 
@@ -134,25 +135,92 @@ def _quantize_heads(x, Hkv, D, hkv_pad):
 
 def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
                          norm, eps, activation, scale, gated, grouped,
-                         cdtype, kv_quant, Hkv):
-    """One grid step == one transformer layer of the decode step."""
+                         cdtype, kv_quant, Hkv, L, greedy=None):
+    """One grid step == one transformer layer of the decode step.
+
+    With ``greedy`` = (V, Vc, vmajor), grid steps L.. are the fused greedy
+    EPILOGUE: final norm once, then one lm_head chunk per step streamed
+    through the pipeline with a running (max, argmax) in scratch; the last
+    step emits the next token ids directly — no logits ever reach HBM.
+    """
     it = iter(refs)
     r = {n: (next(it) if flags[n] else None) for n in _NAMES}
     x_out, k_new, v_new = next(it), next(it), next(it)
     if kv_quant:
         ks_new, vs_new = next(it), next(it)
+    tok_out = next(it) if greedy else None
     x_res, kb, vb = next(it), next(it), next(it)
     if kv_quant:
         ksb, vsb = next(it), next(it)
+    if greedy:
+        hf_scr, m_tok, i_tok = next(it), next(it), next(it)
     sems = next(it)
 
     layer = pl.program_id(0)
     pos = pos_ref[0, 0]
 
+    if greedy:
+        V, Vc, vmajor = greedy
+
+        @pl.when(layer >= L)
+        def _epilogue():
+            ej = layer - L
+
+            @pl.when(layer == L)
+            def _():
+                hf_scr[...] = _norm(x_res[...], r["final_scale"],
+                                    r["final_bias"], norm, eps
+                                    ).astype(cdtype)
+                m_tok[...] = jnp.full((B, 1), NEG_INF, jnp.float32)
+                i_tok[...] = jnp.zeros((B, 1), jnp.int32)
+
+            hf = hf_scr[...]
+            w = r["lm_w"][...]
+            if vmajor:  # [Vc, H] rows of a tied [V, H] embedding
+                lg = lax.dot_general(hf, w.astype(hf.dtype),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            else:       # [H, Vc] slice of an untied [H, V] head
+                lg = jnp.dot(hf, w.astype(hf.dtype),
+                             preferred_element_type=jnp.float32)
+            if r["lm_b"] is not None:
+                lg = lg + r["lm_b"][0].astype(jnp.float32)
+            # logits softcap is monotonic -> argmax-invariant; skipped.
+            col = ej * Vc + lax.broadcasted_iota(jnp.int32, lg.shape, 1)
+            lg = jnp.where(col < V, lg, NEG_INF)
+            cmax = jnp.max(lg, axis=1, keepdims=True)            # [B, 1]
+            carg = jnp.min(jnp.where(lg == cmax, col, jnp.int32(2**31 - 1)),
+                           axis=1, keepdims=True)
+            upd = cmax > m_tok[...]
+            m_tok[...] = jnp.where(upd, cmax, m_tok[...])
+            i_tok[...] = jnp.where(upd, carg, i_tok[...])
+
+            @pl.when(layer == pl.num_programs(0) - 1)
+            def _():
+                tok_out[...] = jnp.broadcast_to(i_tok[...],
+                                                tok_out.shape)
+
     @pl.when(layer == 0)
     def _():
         x_res[...] = r["x"][...].astype(jnp.float32)
 
+    @pl.when(layer < L)
+    def _layer_body():
+        _decode_layer_body(
+            r, x_out, k_new, v_new,
+            ks_new if kv_quant else None, vs_new if kv_quant else None,
+            x_res, kb, vb, ksb if kv_quant else None,
+            vsb if kv_quant else None, sems, layer, pos,
+            B=B, Hq=Hq, D=D, bs=bs, norm=norm, eps=eps,
+            activation=activation, scale=scale, gated=gated,
+            grouped=grouped, cdtype=cdtype, kv_quant=kv_quant, Hkv=Hkv,
+            L=L)
+
+
+def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
+                       x_res, kb, vb, ksb, vsb, sems, layer, pos, *,
+                       B, Hq, D, bs, norm, eps, activation, scale, gated,
+                       grouped, cdtype, kv_quant, Hkv, L):
     x32 = x_res[...]
     h16 = _norm(x32, r["ln1_scale"], r["ln1_bias"], norm, eps).astype(cdtype)
 
@@ -343,14 +411,16 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
     x32 = x32 + d
     x_res[...] = x32
 
-    @pl.when(layer == pl.num_programs(0) - 1)
+    @pl.when(layer == L - 1)
     def _():
         x_out[...] = x32.astype(x_out.dtype)
 
 
 def decode_vmem_bytes(spec, B: int, bs: int, weight_itemsize: int = 2,
-                      cache_itemsize: int = 2) -> int:
-    """Double-buffered per-layer weight bytes + attention scratch."""
+                      cache_itemsize: int = 2, lm_chunk: int = 0) -> int:
+    """Double-buffered per-layer weight bytes + attention scratch.
+    ``lm_chunk`` > 0 adds the fused greedy epilogue's double-buffered
+    lm_head chunk."""
     h, i = spec.hidden_size, spec.intermediate_size
     gated = spec.activation in ("swiglu", "geglu")
     per_layer = (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
@@ -361,7 +431,8 @@ def decode_vmem_bytes(spec, B: int, bs: int, weight_itemsize: int = 2,
     x_scr = B * _pad(h, 128) * 4
     consts = (spec.num_heads * spec.q_dim * 2
               + 2 * spec.q_dim * spec.q_dim * 2)
-    return 2 * per_layer + attn + temps + x_scr + consts
+    lm = 2 * lm_chunk * _pad(h, 128) * 2 if lm_chunk else 0
+    return 2 * per_layer + attn + temps + x_scr + consts + lm
 
 
 def _weight_itemsize(blocks) -> Optional[int]:
@@ -420,6 +491,20 @@ def _rope_consts(spec, cos, sin, heads, dtype):
     return cosf, sinf, rotm
 
 
+def pad_lm_head_for_mega(lm_head: jax.Array, lm_vmajor: bool = True,
+                         vocab_chunk: int = 4096):
+    """Pre-pad the lm_head's vocab dim to the epilogue's chunk multiple
+    (done ONCE at the prefill/decode boundary — an O(V*H) copy that must
+    not land inside the decode scan). Returns (padded, true_vocab, Vc)."""
+    V = lm_head.shape[0] if lm_vmajor else lm_head.shape[1]
+    Vc = min(vocab_chunk, _pad(V, 128))
+    Vpad = -(-V // Vc) * Vc
+    if Vpad != V:
+        pw = ((0, Vpad - V), (0, 0)) if lm_vmajor else ((0, 0), (0, Vpad - V))
+        lm_head = jnp.pad(lm_head, pw)
+    return lm_head, V, Vc
+
+
 def pad_scales_for_mega(sc: jax.Array, Hkv: int) -> jax.Array:
     """[L, B, Smax, Hkv] scan-layout scales -> the mega path's transposed,
     sublane-padded [L, B, pad8(Hkv), Smax] layout (done ONCE at the
@@ -450,6 +535,12 @@ def decode_layer_stack(
     v_scales: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     interpret: bool = False,
+    head_norm=None,                 # (final_scale[H], final_bias[H]|None)
+    lm_head: Optional[jax.Array] = None,   # [V, H] (tied) or [H, V]
+    lm_head_bias: Optional[jax.Array] = None,
+    lm_vmajor: bool = True,
+    vocab_chunk: Optional[int] = None,
+    vocab_size: Optional[int] = None,      # true V if lm_head is pre-padded
 ):
     """Run all layers of one decode step in a single Pallas kernel.
 
@@ -464,7 +555,17 @@ def decode_layer_stack(
     K/V are quantized in-kernel before the write (exactly matching
     ops.quant.quantize_kv so the scan path agrees bit-for-bit).
 
-    Returns (x_out, k_cache, v_cache[, k_scales, v_scales]) updated."""
+    With ``lm_head`` (+``head_norm``) the GREEDY EPILOGUE fuses in: the grid
+    grows by ceil(V/vocab_chunk) steps that stream lm_head chunks through
+    the same pipeline and keep a running (max, argmax) in scratch, emitting
+    next-token ids [B, 128] (id broadcast across lanes) as a final output —
+    final norm, the [B,H]x[H,V] logits matmul, and argmax never become XLA
+    ops and the logits never touch HBM. ``lm_vmajor`` says whether lm_head
+    is vocab-major [V, H] (a tied embedding used as-is, no transpose copy)
+    or hidden-major [H, V]. Softcap is argmax-invariant (monotonic) and
+    needs no handling.
+
+    Returns (x_out, k_cache, v_cache[, k_scales, v_scales][, tok])."""
     B, H = x.shape
     L, _, Smax, KVd = k_cache.shape
     Hq = spec.num_heads
@@ -520,6 +621,33 @@ def decode_layer_stack(
     else:
         cosq = sinq = rotq = cosk = sink = rotk = None
 
+    # --- fused greedy epilogue setup ---
+    greedy = None
+    fin_scale = fin_bias = lm_w = lm_b = None
+    n_chunks = 0
+    if lm_head is not None:
+        assert head_norm is not None, "fused epilogue needs the final norm"
+        V = vocab_size or (lm_head.shape[0] if lm_vmajor
+                           else lm_head.shape[1])
+        Vstore = lm_head.shape[0] if lm_vmajor else lm_head.shape[1]
+        Vc = vocab_chunk or min(4096, _pad(V, 128))
+        n_chunks = -(-V // Vc)
+        Vpad = n_chunks * Vc
+        lm_w = lm_head
+        if Vpad != Vstore:  # zero-pad the chunked dim (cols >= V masked);
+            # callers on a hot loop pre-pad via pad_lm_head_for_mega so this
+            # pad (an O(V*H) copy) never lands inside a scan body
+            pw = ((0, Vpad - Vstore), (0, 0)) if lm_vmajor else \
+                ((0, 0), (0, Vpad - Vstore))
+            lm_w = jnp.pad(lm_w, pw)
+        fin_scale = head_norm[0][None, :]
+        fin_bias = (head_norm[1][None, :]
+                    if head_norm[1] is not None else None)
+        if lm_head_bias is not None:
+            lm_b = jnp.pad(lm_head_bias, (0, Vpad - lm_head_bias.shape[0])
+                           )[None, :]
+        greedy = (V, Vc, lm_vmajor)
+
     bp = blocks
     wq_, sq_ = wq_pair("wq")
     wk_, sk_ = wq_pair("wk")
@@ -544,6 +672,8 @@ def decode_layer_stack(
         "w_gate": wg_, "s_gate": sg_,
         "b_gate": bp["b_gate"] if gated else None,
         "w_down": wd_, "s_down": sd_, "b_down": bp["b_down"],
+        "final_scale": fin_scale, "final_bias": fin_bias,
+        "lm_w": lm_w, "lm_b": lm_b,
         "k_cache": kc, "v_cache": vc,
         "ks_cache": k_scales if kv_quant else None,
         "vs_cache": v_scales if kv_quant else None,
@@ -560,6 +690,10 @@ def decode_layer_stack(
             operands[n] = v[:, None, :]
     flags = {n: operands[n] is not None for n in _NAMES}
 
+    # Per-layer / per-token-write indices clamp to L-1 during epilogue grid
+    # steps (identical consecutive indices skip the refetch/rewrite).
+    lclamp = (lambda l: jnp.minimum(l, L - 1)) if greedy else (lambda l: l)
+
     in_specs = []
     args = []
     flat_idx = {}
@@ -573,19 +707,31 @@ def decode_layer_stack(
         args.append(v)
         if n in ("k_cache", "v_cache", "ks_cache", "vs_cache"):
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        elif n == "lm_w":
+            if lm_vmajor:
+                in_specs.append(pl.BlockSpec(
+                    (Vc, v.shape[1]),
+                    lambda l, *_: (jnp.maximum(l - L, 0), 0)))
+            else:
+                in_specs.append(pl.BlockSpec(
+                    (v.shape[0], Vc),
+                    lambda l, *_: (0, jnp.maximum(l - L, 0))))
+        elif n == "lm_b":
+            in_specs.append(pl.BlockSpec(
+                (1, Vc), lambda l, *_: (0, jnp.maximum(l - L, 0))))
         elif n in _PER_LAYER:
             shape = v.shape
             in_specs.append(pl.BlockSpec(
                 (1,) + shape[1:],
-                lambda l, *_, _nd=v.ndim: (l,) + (0,) * (_nd - 1)))
+                lambda l, *_, _nd=v.ndim: (lclamp(l),) + (0,) * (_nd - 1)))
         else:  # whole-array constants, fetched once
             in_specs.append(pl.BlockSpec(
                 v.shape, lambda l, *_, _nd=v.ndim: (0,) * _nd))
 
     out_specs = [
         pl.BlockSpec(x.shape, lambda l, *_: (0, 0)),
-        pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (l, 0, 0, 0)),
-        pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (l, 0, 0, 0)),
+        pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (lclamp(l), 0, 0, 0)),
+        pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (lclamp(l), 0, 0, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, H), x.dtype),
@@ -598,9 +744,12 @@ def decode_layer_stack(
             "mega path expects transposed, sublane-padded scale caches "
             "(use pad_scales_for_mega)")
         out_specs += [pl.BlockSpec((1, B, hkv_pad, 1),
-                                   lambda l, *_: (l, 0, 0, 0))] * 2
+                                   lambda l, *_: (lclamp(l), 0, 0, 0))] * 2
         out_shape += [jax.ShapeDtypeStruct((L, B, hkv_pad, 1),
                                            jnp.float32)] * 2
+    if greedy:
+        out_specs.append(pl.BlockSpec((B, 128), lambda l, *_: (0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, 128), jnp.int32))
     out_specs = tuple(out_specs)
     out_shape = tuple(out_shape)
 
@@ -608,7 +757,7 @@ def decode_layer_stack(
         _decode_stack_kernel, flags=flags, B=B, Hq=Hq, D=D, bs=bs,
         norm=spec.norm, eps=spec.norm_eps, activation=spec.activation,
         scale=scale, gated=gated, grouped=G > 1, cdtype=cdtype,
-        kv_quant=kv_quant, Hkv=Hkv)
+        kv_quant=kv_quant, Hkv=Hkv, L=L, greedy=greedy)
 
     # pos rides in SMEM as a (1,1) operand — scalar PREFETCH measurably
     # halves pipeline throughput here and no index map needs pos, so a
@@ -622,11 +771,15 @@ def decode_layer_stack(
     ]
     if kv_quant:
         scratch += [pltpu.VMEM((B, _pad(Hkv, 8), Smax), jnp.float32)] * 2
+    if greedy:
+        scratch += [pltpu.VMEM((B, H), cdtype),          # final-norm hidden
+                    pltpu.VMEM((B, 1), jnp.float32),     # running max
+                    pltpu.VMEM((B, 1), jnp.int32)]       # running argmax
     scratch.append(pltpu.SemaphoreType.DMA((6 if kv_quant else 4,)))
 
     outs = pl.pallas_call(
         kernel,
-        grid=(L,),
+        grid=(L + n_chunks,),
         in_specs=[pos_spec] + in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -642,8 +795,9 @@ def decode_layer_stack(
     x_out, k_out, v_out = outs[:3]
     kc = lax.dynamic_update_slice(kc, k_out, (0, 0, pos, 0))
     vc = lax.dynamic_update_slice(vc, v_out, (0, 0, pos, 0))
+    tok = (outs[-1],) if greedy else ()
     if kv_quant:
         ks = lax.dynamic_update_slice(k_scales, outs[3], (0, 0, 0, pos))
         vs = lax.dynamic_update_slice(v_scales, outs[4], (0, 0, 0, pos))
-        return x_out, kc, vc, ks, vs
-    return x_out, kc, vc
+        return (x_out, kc, vc, ks, vs) + tok
+    return (x_out, kc, vc) + tok

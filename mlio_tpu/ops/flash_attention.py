@@ -34,11 +34,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
-def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, *rest,
+def _flash_fwd_kernel(kvlen_ref, qoff_ref, *rest,
                       scale: float, block_kv: int, causal: bool,
                       kv_super: int, sq: int, chunked: bool,
                       with_stats: bool = False,
-                      mask_kind: Optional[str] = None):
+                      mask_kind: Optional[str] = None,
+                      dropout_rate: float = 0.0):
+    if dropout_rate > 0.0:
+        seed_ref, *rest = rest
+    q_ref, k_ref, v_ref, *rest = rest
     if mask_kind is not None:
         mask_ref, *rest = rest
     else:
@@ -51,6 +55,10 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, *rest,
     qi = pl.program_id(2)
     bq = q_ref.shape[2]
     D = q_ref.shape[3]
+    if dropout_rate > 0.0:
+        from mlio_tpu.ops.dropmask import fold_seed
+
+        seed_eff = fold_seed(seed_ref[0], pl.program_id(0), pl.program_id(1))
 
     # Fold the softmax scale into q once (done in fp32, cast back for MXU).
     q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [bq, D]
@@ -87,8 +95,8 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, *rest,
         limit = pl.cdiv(jnp.clip(tokens - chunk0, 0, kv_super), block_kv)
         # blocks strictly below the causal diagonal and fully inside kv_len
         # need no masking at all — lean VPU path (no iota/where). With a
-        # user mask every block must take the masked path.
-        if mask_kind is None:
+        # user mask (or dropout) every block must take the masked path.
+        if mask_kind is None and dropout_rate == 0.0:
             full_tokens = kvlen
             if causal:
                 full_tokens = jnp.minimum(full_tokens, q_start + qoff)
@@ -128,7 +136,19 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref, *rest,
             if masked:
                 p = jnp.where(mask, p, 0.0)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            pv = lax.dot_general(p.astype(vs.dtype), vs,
+            pv_p = p
+            if dropout_rate > 0.0:
+                # post-softmax dropout: drops the PV numerator terms only —
+                # the normalizer l stays the true softmax sum (torch
+                # convention). Hash of absolute positions (ops/dropmask.py).
+                from mlio_tpu.ops.dropmask import keep_u01
+
+                col_abs_d = chunk0 + j * block_kv + lax.broadcasted_iota(
+                    jnp.int32, (bq, block_kv), 1)
+                keep = keep_u01(row_abs, col_abs_d, seed_eff) \
+                    >= jnp.float32(dropout_rate)
+                pv_p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
+            pv = lax.dot_general(pv_p.astype(vs.dtype), vs,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
             acc = acc * alpha + pv
@@ -340,7 +360,7 @@ def canonicalize_mask(mask: jax.Array, B: int, Hq: int, Sq: int, Skv: int):
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv",
                      "kv_vmem_budget", "interpret", "kv_layout",
-                     "return_stats"),
+                     "return_stats", "dropout_rate"),
 )
 def flash_attention(
     q: jax.Array,
@@ -360,6 +380,8 @@ def flash_attention(
     interpret: bool = False,
     kv_layout: str = "bshd",
     return_stats: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed=0,
 ):
     """Flash attention. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D] → [B,Sq,Hq,D].
 
@@ -458,6 +480,10 @@ def flash_attention(
 
     chunked = n_kv_chunks > 1
     kv_quant = k_scale is not None
+    if dropout_rate > 0.0 and kv_quant:
+        raise NotImplementedError(
+            "attention dropout with an INT8 KV cache is not supported "
+            "(dropout is a training feature; quantized caches are serving)")
 
     # --- user mask: canonicalize + pad to the padded grid shapes ---
     mask_kind = None
@@ -501,14 +527,14 @@ def flash_attention(
     if chunked:
         grid = (B, Hq, sq_pad // bq, n_kv_chunks)
 
-        def kv_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref):
+        def kv_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref, *_):
             tokens = kvlen_ref[b]
             if causal:
                 tokens = jnp.minimum(tokens, (i + 1) * bq + qoff_ref[0])
             last = jnp.maximum(pl.cdiv(tokens, kv_super) - 1, 0)
             return (b, h // group, jnp.minimum(j, last), 0)
 
-        def sc_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref):
+        def sc_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref, *_):
             bb, hh, jj, _ = kv_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref)
             return (bb, hh, 0, jj)
 
@@ -518,14 +544,14 @@ def flash_attention(
                                 lambda b, h, i, j, *_: (b, h, i, 0))
         lse_spec = pl.BlockSpec((1, 1, bq), lambda b, h, i, j, *_: (b, h, i))
         if mask_kind == "key":
-            def mask_idx(b, h, i, j, kvlen_ref, qoff_ref):
+            def mask_idx(b, h, i, j, kvlen_ref, qoff_ref, *_):
                 _, _, jj, _ = kv_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref)
                 return (b, 0, 0, jj)
             mask_spec = pl.BlockSpec((1, 1, 1, kv_super), mask_idx)
         elif mask_kind == "full":
             _hm = mask_arr.shape[1]
 
-            def mask_idx(b, h, i, j, kvlen_ref, qoff_ref):
+            def mask_idx(b, h, i, j, kvlen_ref, qoff_ref, *_):
                 _, _, jj, _ = kv_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref)
                 return (b, h if _hm > 1 else 0, i, jj)
             mask_spec = pl.BlockSpec((1, 1, bq, kv_super), mask_idx)
@@ -610,16 +636,25 @@ def flash_attention(
         kernel = functools.partial(
             _flash_fwd_kernel, scale=scale, block_kv=bkv, causal=causal,
             kv_super=kv_super, sq=Sq, chunked=chunked,
-            with_stats=return_stats, mask_kind=mask_kind)
+            with_stats=return_stats, mask_kind=mask_kind,
+            dropout_rate=dropout_rate)
         in_specs = [q_spec, kv_spec, kv_spec]
-        args = [kvlen_arr, qoff_arr, qt, kt, vt]
+        if dropout_rate > 0.0:
+            # seed rides as a 3rd scalar-prefetch arg (no retrace per step)
+            args = [kvlen_arr, qoff_arr,
+                    jnp.asarray(dropout_seed, jnp.int32).reshape(1),
+                    qt, kt, vt]
+            n_prefetch = 3
+        else:
+            args = [kvlen_arr, qoff_arr, qt, kt, vt]
+            n_prefetch = 2
         if mask_kind is not None:
             in_specs.append(mask_spec)
             args.append(mask_arr)
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=n_prefetch,
                 grid=grid,
                 in_specs=in_specs,
                 out_specs=(out_spec, lse_spec) if return_stats else out_spec,

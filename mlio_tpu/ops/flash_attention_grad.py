@@ -46,9 +46,18 @@ def _round_up(x: int, m: int) -> int:
 # Forward with logsumexp residual
 # ---------------------------------------------------------------------------
 
-def _fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                    block_kv: int, causal: bool, skv: int, kvlen: int):
+def _fwd_lse_kernel(*refs, scale: float,
+                    block_kv: int, causal: bool, skv: int, kvlen: int,
+                    dropout_rate: float = 0.0):
+    if dropout_rate > 0.0:
+        seed_ref, *refs = refs
+    q_ref, k_ref, v_ref, o_ref, lse_ref = refs
     qi = pl.program_id(2)
+    if dropout_rate > 0.0:
+        from mlio_tpu.ops.dropmask import fold_seed
+
+        seed_eff = fold_seed(seed_ref[0, 0], pl.program_id(0),
+                             pl.program_id(1))
     bq = q_ref.shape[2]
     D = q_ref.shape[3]
 
@@ -82,7 +91,14 @@ def _fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
         p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = lax.dot_general(p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+        pv_p = p
+        if dropout_rate > 0.0:
+            from mlio_tpu.ops.dropmask import keep_u01
+
+            keep = keep_u01(row, col, seed_eff) >= jnp.float32(dropout_rate)
+            pv_p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
+        pv = lax.dot_general(pv_p.astype(vs.dtype), vs,
+                             (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
         acc = acc * alpha + pv
         return m_new, l, acc
@@ -99,11 +115,18 @@ def _fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 # Backward kernels
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-                   scale: float, block_kv: int, causal: bool, skv: int,
-                   kvlen: int):
+def _bwd_dq_kernel(*refs, scale: float, block_kv: int, causal: bool,
+                   skv: int, kvlen: int, dropout_rate: float = 0.0):
     """One program per (b, h, q-block); loops kv blocks, accumulates dQ."""
+    if dropout_rate > 0.0:
+        seed_ref, *refs = refs
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
     qi = pl.program_id(2)
+    if dropout_rate > 0.0:
+        from mlio_tpu.ops.dropmask import fold_seed
+
+        seed_eff = fold_seed(seed_ref[0, 0], pl.program_id(0),
+                             pl.program_id(1))
     bq = q_ref.shape[2]
     D = q_ref.shape[3]
 
@@ -133,6 +156,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
         p = jnp.where(mask, jnp.exp(s - lse_safe), 0.0)         # [bq, bkv]
         dp = lax.dot_general(do.astype(vs.dtype), vs, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            # dP = (dO V^T) * Dm; delta == rowsum(P~ dP~) already (see
+            # module docstring) so only the dp term is masked here.
+            from mlio_tpu.ops.dropmask import keep_u01
+
+            keep = keep_u01(row, col, seed_eff) >= jnp.float32(dropout_rate)
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout_rate))
         ds = p * (dp - delta)                                   # [bq, bkv]
         acc = acc + lax.dot_general(ds.astype(ks.dtype), ks,
                                     (((1,), (0,)), ((), ())),
@@ -143,12 +173,20 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     dq_ref[0, 0] = (acc * scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, scale: float, block_q: int,
-                    causal: bool, sq: int, kvlen: int):
+def _bwd_dkv_kernel(*refs, scale: float, block_q: int,
+                    causal: bool, sq: int, kvlen: int,
+                    dropout_rate: float = 0.0):
     """One program per (b, h, kv-block); loops q blocks, accumulates dK/dV
     in VMEM (replaces the reference's HBM atomic adds, :912-916)."""
+    if dropout_rate > 0.0:
+        seed_ref, *refs = refs
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
     ki = pl.program_id(2)
+    if dropout_rate > 0.0:
+        from mlio_tpu.ops.dropmask import fold_seed
+
+        seed_eff = fold_seed(seed_ref[0, 0], pl.program_id(0),
+                             pl.program_id(1))
     bkv = k_ref.shape[2]
     D = k_ref.shape[3]
 
@@ -182,13 +220,24 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    + lax.broadcasted_iota(jnp.int32, (block_q, bkv), 0))
             mask = jnp.logical_and(mask, row >= col)
         p = jnp.where(mask, jnp.exp(s - lse_safe), 0.0)
-        # dV += P^T dO
-        dv = dv + lax.dot_general(p.astype(do_ref.dtype),
+        p_drop = p
+        dp = lax.dot_general(do.astype(vs.dtype), vs, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            from mlio_tpu.ops.dropmask import keep_u01
+
+            row_d = (i * block_q
+                     + lax.broadcasted_iota(jnp.int32, (block_q, bkv), 0))
+            keep = keep_u01(row_d, col, seed_eff) \
+                >= jnp.float32(dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            p_drop = jnp.where(keep, p, 0.0) * inv  # P~ = P * Dm
+            dp = jnp.where(keep, dp, 0.0) * inv     # dP = (dO V^T) * Dm
+        # dV += P~^T dO
+        dv = dv + lax.dot_general(p_drop.astype(do_ref.dtype),
                                   do.astype(do_ref.dtype),
                                   (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        dp = lax.dot_general(do.astype(vs.dtype), vs, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
         ds = p * (dp - delta)                                   # [bq, bkv]
         # dK += dS^T Q_scaled  (scale already folded into qs)
         dk = dk + lax.dot_general(ds.astype(qs.dtype), qs,
@@ -205,7 +254,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-def _fwd_impl(q, k, v, causal, scale, block_q, block_kv, interpret):
+def _fwd_impl(q, k, v, seed, causal, scale, block_q, block_kv, interpret,
+              dropout_rate):
     B, Sq, Hq, D = q.shape
     _, Skv, Hkv, _ = k.shape
     group = Hq // Hkv
@@ -225,11 +275,13 @@ def _fwd_impl(q, k, v, causal, scale, block_q, block_kv, interpret):
 
     grid = (B, Hq, sq_pad // bq)
     kernel = functools.partial(_fwd_lse_kernel, scale=scale, block_kv=bkv,
-                               causal=causal, skv=skv_pad, kvlen=Skv)
+                               causal=causal, skv=skv_pad, kvlen=Skv,
+                               dropout_rate=dropout_rate)
+    seed_args, seed_specs = _seed_operand(seed, dropout_rate)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
+        in_specs=seed_specs + [
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((1, 1, skv_pad, D),
                          lambda b, h, i, g=group: (b, h // g, 0, 0)),
@@ -247,32 +299,51 @@ def _fwd_impl(q, k, v, causal, scale, block_q, block_kv, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(qt, kt, vt)
+    )(*seed_args, qt, kt, vt)
     out = o[:, :, :Sq, :].transpose(0, 2, 1, 3)
     return out, (o, lse, qt, kt, vt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def flash_attention_vjp(q, k, v, causal: bool = True,
+def _seed_operand(seed, dropout_rate):
+    """(args, specs) for the optional (1,1) SMEM dropout-seed operand."""
+    if dropout_rate <= 0.0:
+        return [], []
+    arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    return [arr], [pl.BlockSpec((1, 1), lambda *_: (0, 0),
+                                memory_space=pltpu.SMEM)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def flash_attention_vjp(q, k, v, dropout_seed=0, causal: bool = True,
                         scale: Optional[float] = None, block_q: int = 256,
-                        block_kv: int = 512, interpret: bool = False):
-    """Differentiable flash attention. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D]."""
+                        block_kv: int = 512, interpret: bool = False,
+                        dropout_rate: float = 0.0):
+    """Differentiable flash attention. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D].
+
+    ``dropout_rate``/``dropout_seed``: position-hashed attention dropout
+    (ops/dropmask.py) — forward and backward regenerate identical masks with
+    no stored mask tensor. The seed is a traced scalar (no retrace per
+    training step); it carries a zero cotangent."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    out, _ = _fwd_impl(q, k, v, causal, scale, block_q, block_kv, interpret)
+    out, _ = _fwd_impl(q, k, v, dropout_seed, causal, scale, block_q,
+                       block_kv, interpret, dropout_rate)
     return out
 
 
-def _vjp_fwd(q, k, v, causal, scale, block_q, block_kv, interpret):
+def _vjp_fwd(q, k, v, dropout_seed, causal, scale, block_q, block_kv,
+             interpret, dropout_rate):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     out, (o_pad, lse, qt, kt, vt) = _fwd_impl(
-        q, k, v, causal, scale, block_q, block_kv, interpret)
-    return out, (o_pad, lse, qt, kt, vt, q.shape, k.shape)
+        q, k, v, dropout_seed, causal, scale, block_q, block_kv, interpret,
+        dropout_rate)
+    return out, (o_pad, lse, qt, kt, vt, q.shape, k.shape, dropout_seed)
 
 
-def _vjp_bwd(causal, scale, block_q, block_kv, interpret, res, g):
-    o_pad, lse, qt, kt, vt, q_shape, k_shape = res
+def _vjp_bwd(causal, scale, block_q, block_kv, interpret, dropout_rate,
+             res, g):
+    o_pad, lse, qt, kt, vt, q_shape, k_shape, dropout_seed = res
     B, Sq, Hq, D = q_shape
     _, Skv, Hkv, _ = k_shape
     group = Hq // Hkv
@@ -298,24 +369,28 @@ def _vjp_bwd(causal, scale, block_q, block_kv, interpret, res, g):
     row_spec = pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, h, i))
     rowfull_spec = pl.BlockSpec((1, 1, sq_pad), lambda b, h, i: (b, h, 0))
 
+    seed_args, seed_specs = _seed_operand(dropout_seed, dropout_rate)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_kv=bkv,
-                          causal=causal, skv=skv_pad, kvlen=Skv),
+                          causal=causal, skv=skv_pad, kvlen=Skv,
+                          dropout_rate=dropout_rate),
         grid=(B, Hq, sq_pad // bq),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        in_specs=seed_specs + [q_spec, kv_spec, kv_spec, q_spec, row_spec,
+                               row_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, sq_pad, D), qt.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(qt, kt, vt, do, lse, delta)
+    )(*seed_args, qt, kt, vt, do, lse, delta)
 
     dk_full, dv_full = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, block_q=bq,
-                          causal=causal, sq=sq_pad, kvlen=Skv),
+                          causal=causal, sq=sq_pad, kvlen=Skv,
+                          dropout_rate=dropout_rate),
         grid=(B, Hq, skv_pad // bkv),
-        in_specs=[qfull_spec, kvblk_spec, kvblk_spec, qfull_spec,
-                  rowfull_spec, rowfull_spec],
+        in_specs=seed_specs + [qfull_spec, kvblk_spec, kvblk_spec,
+                               qfull_spec, rowfull_spec, rowfull_spec],
         out_specs=[
             pl.BlockSpec((1, 1, bkv, D), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((1, 1, bkv, D), lambda b, h, i: (b, h, i, 0)),
@@ -327,7 +402,7 @@ def _vjp_bwd(causal, scale, block_q, block_kv, interpret, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(qt, kt, vt, do, lse, delta)
+    )(*seed_args, qt, kt, vt, do, lse, delta)
 
     # GQA: sum grads over the query heads sharing each KV head.
     dk_full = dk_full.reshape(B, Hkv, group, skv_pad, D).sum(axis=2)
@@ -336,7 +411,13 @@ def _vjp_bwd(causal, scale, block_q, block_kv, interpret, res, g):
     dq = dq[:, :, :Sq, :].transpose(0, 2, 1, 3)
     dk = dk_full[:, :, :Skv, :].transpose(0, 2, 1, 3).astype(kt.dtype)
     dv = dv_full[:, :, :Skv, :].transpose(0, 2, 1, 3).astype(vt.dtype)
-    return dq, dk, dv
+    seed_ct = jax.tree_util.tree_map(
+        lambda x: jnp.zeros(jnp.shape(x),
+                            jax.dtypes.float0
+                            if jnp.issubdtype(jnp.asarray(x).dtype,
+                                              jnp.integer)
+                            else jnp.asarray(x).dtype), dropout_seed)
+    return dq, dk, dv, seed_ct
 
 
 flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)

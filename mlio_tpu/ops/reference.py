@@ -31,6 +31,9 @@ def attention_reference(
     bias: Optional[jax.Array] = None,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed=0,
+    return_probs: bool = False,
 ) -> jax.Array:
     """Dense softmax attention with GQA, causal masking and KV-length masking.
 
@@ -94,7 +97,22 @@ def attention_reference(
     probs = jax.nn.softmax(scores, axis=-1)
     # Rows that are fully masked produce NaN from softmax(-inf); zero them.
     probs = jnp.where(jnp.isnan(probs), 0.0, probs)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
+    pv_probs = probs
+    if dropout_rate > 0.0:
+        # post-softmax dropout with the SAME position-hash mask the flash
+        # kernels regenerate (ops/dropmask.py) — kernel-vs-reference tests
+        # compare exactly, not statistically. Parity: reference
+        # FlashAttentionConfig.dropout (flash_attention.py:53-104).
+        from mlio_tpu.ops.dropmask import dense_keep_mask
+
+        keep = dense_keep_mask(B, Hq, Sq, Skv, dropout_seed, dropout_rate,
+                               q_offset=q_offset)
+        pv_probs = jnp.where(keep, probs, 0.0) / (1.0 - dropout_rate)
+    out = jnp.einsum("bhqk,bkhd->bqhd", pv_probs, vf)
+    if return_probs:
+        # parity: the reference's return_softmax debug surface
+        # (flash_attention.py:53-104) — O(Sq*Skv) by nature
+        return out.astype(q.dtype), probs
     return out.astype(q.dtype)
 
 

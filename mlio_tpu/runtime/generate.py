@@ -94,12 +94,69 @@ def _generate_impl(
             cache["v_scale"] = pad_scales_for_tiled(
                 cache["v_scale"], spec.num_kv_heads, tiling.ka)
 
-    def step(carry, rng_step):
-        cache, token = carry
-        logits, cache = forward(params, spec, token[:, None], impl=impl,
-                                cache=cache)
-        new_token = sampling.sample(logits[:, -1, :], rng_step, method)
-        return (cache, new_token), token
+    # Fused greedy epilogue (mega path only): final norm + lm_head + argmax
+    # run INSIDE the megakernel as extra grid steps — the step body becomes
+    # embedding-gather + one pallas_call + one cache write (ops/decode_layer
+    # epilogue; VERDICT r1 #1: the decode step was op-launch-bound).
+    fuse_head = (use_mega and method.temperature == 0.0
+                 and impl.attention != "dense")
+    if fuse_head:
+        from mlio_tpu.ops.decode_layer import decode_vmem_bytes, _VMEM_LIMIT
+        from mlio_tpu.ops.decode_layer import _weight_itemsize as _witem
+
+        lm_w = (params["lm_head"] if params["lm_head"] is not None
+                else params["tok_embed"])
+        lm_vmajor = params["lm_head"] is None
+        fuse_head = decode_vmem_bytes(
+            spec, B, 128, _witem(params["blocks"]) or 2,
+            cache_itemsize=1 if quantized else 2,
+            lm_chunk=4096) < (_VMEM_LIMIT - (12 << 20))
+
+    if fuse_head:
+        from mlio_tpu.models.transformer import rope_cos_sin
+        from mlio_tpu.ops.decode_layer import (
+            decode_layer_stack,
+            pad_lm_head_for_mega,
+        )
+
+        interp = (impl.interpret if impl.interpret is not None
+                  else jax.default_backend() != "tpu")
+        # pad ONCE at the boundary (an O(V*H) copy must not ride the scan)
+        lm_w, lm_V, lm_Vc = pad_lm_head_for_mega(lm_w, lm_vmajor)
+
+        def step(carry, rng_step):
+            cache, token = carry
+            pos = cache["pos"]
+            x = params["tok_embed"][token]  # [B, H]
+            if spec.embed_scale is not None:
+                x = x * jnp.asarray(spec.embed_scale, x.dtype)
+            if spec.positional == "learned":
+                x = x + params["pos_embed"][pos].astype(x.dtype)
+                cs = sn = None
+            else:
+                cs, sn = rope_cos_sin(jnp.reshape(pos, (1,)), spec.rope_dim,
+                                      spec.rope_theta, jnp.float32)
+            out = decode_layer_stack(
+                x, params["blocks"], cache["k"], cache["v"], pos, cs, sn,
+                spec=spec,
+                k_scales=cache.get("k_scale"),
+                v_scales=cache.get("v_scale"),
+                interpret=interp,
+                head_norm=(params["final_scale"], params["final_bias"]),
+                lm_head=lm_w, lm_head_bias=params.get("lm_head_bias"),
+                lm_vmajor=lm_vmajor, vocab_chunk=lm_Vc, vocab_size=lm_V)
+            new_cache = {"k": out[1], "v": out[2], "pos": pos + 1}
+            if "k_scale" in cache:
+                new_cache["k_scale"], new_cache["v_scale"] = out[3], out[4]
+            new_token = out[-1][:, 0]
+            return (new_cache, new_token), token
+    else:
+        def step(carry, rng_step):
+            cache, token = carry
+            logits, cache = forward(params, spec, token[:, None], impl=impl,
+                                    cache=cache)
+            new_token = sampling.sample(logits[:, -1, :], rng_step, method)
+            return (cache, new_token), token
 
     rngs = jax.random.split(rng, max_new_tokens)
     (cache, last_token), tokens = jax.lax.scan(

@@ -34,7 +34,8 @@ def loss_pair(q, k, v, causal):
     w = jnp.cos(jnp.arange(q.size, dtype=jnp.float32)).reshape(q.shape)
 
     def loss_flash(q, k, v):
-        o = flash_attention_vjp(q, k, v, causal, None, 64, 128, True)
+        o = flash_attention_vjp(q, k, v, causal=causal, scale=None,
+                                block_q=64, block_kv=128, interpret=True)
         return jnp.sum(o * w)
 
     def loss_dense(q, k, v):
@@ -73,7 +74,8 @@ def test_forward_matches_dense(rng):
     q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
-    o = flash_attention_vjp(q, k, v, True, None, 64, 128, True)
+    o = flash_attention_vjp(q, k, v, causal=True, scale=None,
+                            block_q=64, block_kv=128, interpret=True)
     o_r = dense_attention(q, k, v, True)
     np.testing.assert_allclose(np.asarray(o), np.asarray(o_r),
                                rtol=2e-3, atol=2e-3)
