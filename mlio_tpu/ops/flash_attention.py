@@ -320,6 +320,108 @@ def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
         finish(m_scr[...], l_scr[...], acc_scr[...])
 
 
+def _flash_fwd_stream_kernel(kvlen_ref, qoff_ref, q_ref, k_hbm, v_hbm,
+                             o_ref, *rest, scale: float, block_kv: int,
+                             causal: bool, group: int,
+                             with_stats: bool = False):
+    """Long-context forward with MANUALLY STREAMED KV.
+
+    The chunked-grid variant serializes at every kv-chunk boundary (scratch
+    carry + pl.when guards pause the pipeline). Here the grid stays
+    (B, Hq, q_blocks) and K/V live in HBM (memory_space=ANY); the kernel
+    loops kv blocks with double-buffered async DMAs — the decode-megakernel
+    pattern — so block j+1's fetch flies while block j's dots run and the
+    (m, l, acc) carry never leaves registers. This both removes the
+    serialization AND frees VMEM for much larger q tiles (bq=1024+), which
+    divides total KV refetch traffic by the same factor.
+    """
+    if with_stats:
+        lse_ref, kb, vb, sems = rest
+    else:
+        lse_ref = None
+        kb, vb, sems = rest
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    bq = q_ref.shape[2]
+    D = q_ref.shape[3]
+    hkv = h // group
+
+    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    kvlen = kvlen_ref[b]
+    qoff = qoff_ref[0]
+    q_start = qi * bq
+
+    tokens = kvlen
+    if causal:
+        tokens = jnp.minimum(tokens, q_start + qoff + bq)
+    nb = pl.cdiv(tokens, block_kv)
+
+    def copies(j, slot):
+        kr = pltpu.make_async_copy(
+            k_hbm.at[b, hkv, pl.ds(j * block_kv, block_kv), :],
+            kb.at[slot], sems.at[slot])
+        vr = pltpu.make_async_copy(
+            v_hbm.at[b, hkv, pl.ds(j * block_kv, block_kv), :],
+            vb.at[slot], sems.at[2 + slot])
+        return kr, vr
+
+    @pl.when(nb > 0)
+    def _():
+        kr, vr = copies(0, 0)
+        kr.start()
+        vr.start()
+
+    row_abs = (q_start + qoff
+               + lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0))
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        slot = lax.rem(j, 2)
+
+        @pl.when(j + 1 < nb)
+        def _():
+            kr, vr = copies(j + 1, 1 - slot)
+            kr.start()
+            vr.start()
+
+        kr, vr = copies(j, slot)
+        kr.wait()
+        vr.wait()
+        ks = kb[slot]
+        vs = vb[slot]
+        s = lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        col_abs = j * block_kv + lax.broadcasted_iota(
+            jnp.int32, (bq, block_kv), 1)
+        mask = col_abs < kvlen
+        if causal:
+            mask = jnp.logical_and(mask, row_abs >= col_abs)
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+        alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
+        p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = lax.dot_general(p.astype(vs.dtype), vs,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        acc = acc * alpha + pv
+        return m_new, l, acc
+
+    m, l, acc = lax.fori_loop(0, nb, body, (m0, l0, acc0))
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+    if with_stats:
+        lse = jnp.where(l == 0.0, NEG_INF,
+                        jnp.where(jnp.isneginf(m), 0.0, m)
+                        + jnp.log(l_safe))
+        lse_ref[0, 0] = lse[:, 0]
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -421,6 +523,7 @@ def flash_attention(
     # and fewer chunk-boundary masked blocks.
     chunk_needed = (2 * _round_up(Skv, 128) * _round_up(D, 128)
                     * k.dtype.itemsize > kv_vmem_budget)
+    user_pinned_bq = block_q is not None
     if block_q is None or block_kv is None:
         # Tuned-table consult (trace-time): the TPU analogue of the
         # reference's @triton.autotune (flash_attention_kernels.py:39-52).
@@ -484,6 +587,62 @@ def flash_attention(
         raise NotImplementedError(
             "attention dropout with an INT8 KV cache is not supported "
             "(dropout is a training feature; quantized caches are serving)")
+
+    # Long-context fast path: manually streamed KV (see
+    # _flash_fwd_stream_kernel). Covers the plain causal/kvlen configs; user
+    # masks / INT8 KV / dropout fall back to the chunked-grid variant.
+    if (chunked and mask is None and not kv_quant and dropout_rate == 0.0):
+        sbq = bq if user_pinned_bq else min(1024, _round_up(Sq, 8))
+        sq_pad_s = _round_up(Sq, sbq)
+        qs_t = q.transpose(0, 2, 1, 3)
+        if sq_pad_s != Sq:
+            qs_t = jnp.pad(qs_t, ((0, 0), (0, 0), (0, sq_pad_s - Sq),
+                                  (0, 0)))
+        out_shape_s = jax.ShapeDtypeStruct((B, Hq, sq_pad_s, D), q.dtype)
+        if return_stats:
+            out_shape_s = (out_shape_s, jax.ShapeDtypeStruct(
+                (B, Hq, sq_pad_s), jnp.float32))
+        kernel = functools.partial(
+            _flash_fwd_stream_kernel, scale=scale, block_kv=bkv,
+            causal=causal, group=group, with_stats=return_stats)
+        q_spec_s = pl.BlockSpec((1, 1, sbq, D),
+                                lambda b, h, i, *_: (b, h, i, 0))
+        o_spec_s = pl.BlockSpec((1, 1, sbq, D),
+                                lambda b, h, i, *_: (b, h, i, 0))
+        lse_spec_s = pl.BlockSpec((1, 1, sbq), lambda b, h, i, *_: (b, h, i))
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, Hq, sq_pad_s // sbq),
+                in_specs=[q_spec_s,
+                          pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=((o_spec_s, lse_spec_s) if return_stats
+                           else o_spec_s),
+                scratch_shapes=[
+                    pltpu.VMEM((2, bkv, D), kt.dtype),
+                    pltpu.VMEM((2, bkv, D), vt.dtype),
+                    pltpu.SemaphoreType.DMA((4,)),
+                ],
+            ),
+            out_shape=out_shape_s,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * Hq * Sq * Skv * D,
+                bytes_accessed=(qs_t.size * qs_t.dtype.itemsize
+                                + (kt.size + vt.size) * kt.dtype.itemsize),
+                transcendentals=B * Hq * Sq * Skv,
+            ),
+            interpret=interpret,
+        )(kvlen_arr, qoff_arr, qs_t, kt, vt)
+        if return_stats:
+            o_s, lse_s = out
+            return (o_s[:, :, :Sq, :].transpose(0, 2, 1, 3),
+                    lse_s[:, :, :Sq])
+        return out[:, :, :Sq, :].transpose(0, 2, 1, 3)
 
     # --- user mask: canonicalize + pad to the padded grid shapes ---
     mask_kind = None

@@ -1,0 +1,51 @@
+"""Capture ALL benchmark artifacts on the real TPU in one run.
+
+Runs the headline bench (bench.py's exact methodology) plus every
+bench_extra scenario, and writes the results to BENCH_extra.json with a
+timestamp and backend stamp — the committed artifact VERDICT r1 asked for
+(all five BASELINE.json configs + the ppl gate + speculative decoding).
+
+Usage: python run_benches.py [scenario ...]   (default: all)
+Each scenario runs in-process; a scenario failure is recorded as an error
+entry rather than aborting the rest.
+"""
+import json
+import subprocess
+import sys
+import time
+
+import jax
+
+
+def main():
+    import bench_extra
+
+    names = sys.argv[1:] or ["headline"] + list(bench_extra.SCENARIOS)
+    results = {"backend": jax.default_backend(),
+               "captured_unix": int(time.time()),
+               "results": {}}
+    for name in names:
+        t0 = time.time()
+        try:
+            if name == "headline":
+                out = subprocess.run(
+                    [sys.executable, "bench.py"], capture_output=True,
+                    text=True, timeout=900)
+                line = [ln for ln in out.stdout.splitlines()
+                        if ln.startswith("{")][-1]
+                res = json.loads(line)
+                res["stderr"] = out.stderr.strip().splitlines()[-1:]
+            else:
+                res = bench_extra.SCENARIOS[name]()
+        except Exception as e:  # record and continue
+            res = {"error": f"{type(e).__name__}: {e}"}
+        res["wall_s"] = round(time.time() - t0, 1)
+        results["results"][name] = res
+        print(json.dumps({name: res}), flush=True)
+    with open("BENCH_extra.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("# wrote BENCH_extra.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

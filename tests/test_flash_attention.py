@@ -214,3 +214,37 @@ def test_canonicalize_mask_shapes():
     assert kind == "full" and m.shape == (B, Hq, Sq, Skv)
     with pytest.raises(ValueError):
         canonicalize_mask(jnp.ones((B, 3, Skv)), B, Hq, Sq, Skv)
+
+
+def test_flash_streamed_long_context_matches_dense():
+    """The manually-streamed KV path (no user mask, tiny VMEM budget forces
+    the long-context regime) must match dense attention, incl. kv_len,
+    q_offset and LSE stats."""
+    rng = jax.random.PRNGKey(9)
+    B, Sq, Skv, H, D = 2, 256, 384, 2, 64
+    q, k, v = (jax.random.normal(r, (B, s, H, D), jnp.float32)
+               for r, s in zip(jax.random.split(rng, 3), (Sq, Skv, Skv)))
+    for causal in (True, False):
+        out = flash_attention(q, k, v, causal=causal, interpret=True,
+                              block_q=128, block_kv=128,
+                              kv_vmem_budget=1 << 16)
+        ref = attention_reference(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+    # kv_len masking + decode-style q_offset
+    kvl = jnp.asarray([300, 120], jnp.int32)
+    out = flash_attention(q[:, :1], k, v, causal=True, q_offset=100,
+                          kv_len=kvl, interpret=True, block_q=128,
+                          block_kv=128, kv_vmem_budget=1 << 16)
+    ref = attention_reference(q[:, :1], k, v, causal=True, q_offset=100,
+                              kv_len=kvl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
+    # LSE stats out
+    out_s, lse = flash_attention(q, k, v, causal=True, interpret=True,
+                                 block_q=128, block_kv=128,
+                                 kv_vmem_budget=1 << 16, return_stats=True)
+    out_big, lse_big = flash_attention(q, k, v, causal=True, interpret=True,
+                                       return_stats=True)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_big),
+                               atol=2e-3, rtol=2e-3)
