@@ -248,3 +248,19 @@ def test_flash_streamed_long_context_matches_dense():
                                        return_stats=True)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_big),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_flash_streamed_gqa():
+    """Streamed long-context path with grouped KV heads (Hq=4, Hkv=2)."""
+    rng = jax.random.PRNGKey(10)
+    B, Sq, Skv, Hq, Hkv, D = 1, 128, 256, 4, 2, 64
+    ks = jax.random.split(rng, 3)
+    q = jax.random.normal(ks[0], (B, Sq, Hq, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Skv, Hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Skv, Hkv, D), jnp.float32)
+    out = flash_attention(q, k, v, causal=True, interpret=True,
+                          block_q=128, block_kv=128,
+                          kv_vmem_budget=1 << 16)
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)
