@@ -26,10 +26,16 @@ This kernel keeps ONE pallas_call per decode step with grid
     out-of-range lanes (intermediate % ic != 0) are masked in-kernel, so
     no host-side weight padding is needed.
 
-Each weight chunk is DMA'd exactly once per layer (Pallas only re-fetches
-a block when its index map changes; parked operands repeat their last
-index), so HBM traffic is the same as the theoretical minimum while the
-grid pipeline overlaps every chunk's DMA with the previous chunk's compute.
+Weight chunks stream via MANUAL double-buffered DMA through a SHARED
+four-buffer scratch pool that the attention and MLP phases reuse (each
+phase prefetches the next phase's chunks into the other slot, including
+across the attn→MLP and layer boundaries). Compared with giving all seven
+weight operands their own pipeline buffers, the pool halves the VMEM
+footprint, which lets the chunks — and so the per-token phase count —
+roughly double (7B int8: 15 → 6 phases/layer). Each chunk still crosses
+HBM exactly once per layer and every DMA flies under the previous phase's
+compute; per-(buffer, slot) semaphores keep in-flight prefetches from
+satisfying the current phase's waits.
 
 Layout rules follow decode_layer.py: flat [L, B, Smax, Hkv*D] cache, no
 lane-splitting reshapes, per-head structure via constant 0/1 matrices on
@@ -87,9 +93,12 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
                   ) -> Optional[Tiling]:
     """Pick (head-group, intermediate-chunk) sizes that fit the VMEM budget.
 
-    All seven weight operands hold double-buffered blocks for the whole
-    kernel (Pallas allocates per-operand buffers once), so the constraint is
-    2*(attn chunk) + 2*(mlp chunk) + cache buffers + scratch <= budget.
+    Weight chunks stream through a SHARED double-buffered scratch pool via
+    manual DMA (attention and MLP phases reuse the same four buffers), so
+    the constraint is 2*(per-buffer max over the two phase types) + cache
+    buffers + scratch <= budget — roughly HALF the footprint of giving each
+    of the seven weight operands its own pipeline buffer, which is what
+    lets the MLP chunk (and so the phase count) roughly double.
 
     ``weight_fmt="fp8"`` additionally reserves stack headroom proportional
     to the chunk sizes: the fp8→bf16 dequant lowers with large live vector
@@ -100,8 +109,8 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
     h, I = spec.hidden_size, spec.intermediate_size
     Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_size
     gated = spec.activation in ("swiglu", "geglu")
-    n_up = 3 if gated else 2
     fp8 = weight_fmt == "fp8"
+    wi = weight_itemsize
 
     scratch = 3 * B * _pad(h, 128) * 4 + (2 << 20)  # x_res/h/acc + consts
     best = None
@@ -114,16 +123,26 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
         if ka > 1 and ((hg * D) % 128 or (hkvg * D) % 128):
             # cache lane slices must be 128-aligned (ka==1 slices full width)
             continue
-        attn = (h * hg * D + 2 * h * hkvg * D + hg * D * h) * weight_itemsize
-        cache_bufs = 2 * 2 * B * 128 * hkvg * D * cache_itemsize  # dbl-buf
-        attn_total = (2 + (0.5 if fp8 else 0)) * attn
-        room = vmem_budget - int(attn_total) - cache_bufs - scratch
-        if room <= 0:
-            continue
-        per_ic = n_up * h * weight_itemsize  # bytes per intermediate lane
-        denom = 2 * per_ic + (2 * per_ic if fp8 else 0)
-        ic = min(_pad(I, 128), room // denom // 128 * 128)
-        if ic < 128:
+        Qg, KVg = hg * D, hkvg * D
+        cache_bufs = 2 * 2 * B * 128 * KVg * cache_itemsize  # dbl-buf
+        room = vmem_budget - cache_bufs - scratch
+        reserve = 1.5 if fp8 else 1.0  # dequant-cast spill headroom
+
+        def pool_bytes(ic):
+            # four shared buffers: up(q/up), mid(k/gate), v(v only), dn(o/dn)
+            up = max(Qg, ic)
+            mid = max(KVg, ic) if gated else KVg
+            dn = max(Qg, ic)
+            return int(2 * h * wi * (up + mid + KVg + dn) * reserve)
+
+        ic = None
+        cand_ic = min(_pad(I, 128), 1 << 16)
+        while cand_ic >= 128:
+            if pool_bytes(cand_ic) <= room:
+                ic = cand_ic
+                break
+            cand_ic -= 128
+        if ic is None:
             continue
         km = -(-I // ic)
         cand = Tiling(hg=hg, ic=ic, ka=ka, km=km)
@@ -233,7 +252,11 @@ def _qdot(h16, w, out_w):
 def _mmc(h16, w_ref, b_ref, s_ref):
     """x @ chunk (+bias, int8 per-channel dequant fused); refs are the
     current phase's weight chunk blocks."""
-    w = w_ref[0]
+    return _mmv(h16, w_ref[0], b_ref, s_ref)
+
+
+def _mmv(h16, w, b_ref, s_ref):
+    """x @ chunk on an ARRAY (a shared-pool scratch slice)."""
     if s_ref is not None:
         y = _qdot(h16, w, w.shape[1])
         y = y * s_ref[0].astype(jnp.float32)
@@ -256,6 +279,8 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                                      next(it), next(it))
     if kv_quant:
         ksb, vsb = next(it), next(it)
+    wbu, wbm, wbv_, wbd = next(it), next(it), next(it), next(it)
+    wsems = next(it)
     sems = next(it)
 
     layer = pl.program_id(0)
@@ -265,6 +290,79 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
     Qg = Hg * D
     KVg = hkvg * D
     hkvp = _pad(hkvg, 8)
+    S = Ka + Km
+    L = pl.num_programs(0)
+    ic_edge = I_total - (Km - 1) * ic  # last-chunk width (Km==1 -> I_total)
+
+    # ---- shared-pool weight streaming ---------------------------------------
+    # Attention and MLP phases stream their weight chunks through the SAME
+    # four double-buffered scratch buffers via manual DMA: buffer bytes are
+    # allocated once for max(attn, mlp) chunk instead of per-operand pipeline
+    # buffers for all seven weights — which roughly doubles the feasible MLP
+    # chunk and halves the per-token phase count (the per-phase fixed cost
+    # was the dominant non-roofline term at 7B shapes).
+    step = layer * S + s_idx
+    slot = lax.rem(step, 2)
+
+    def attn_copies(l_, g_, slot_):
+        return [
+            pltpu.make_async_copy(
+                r["wq"].at[l_, :, pl.ds(g_ * Qg, Qg)],
+                wbu.at[slot_, :, pl.ds(0, Qg)], wsems.at[0, slot_]),
+            pltpu.make_async_copy(
+                r["wk"].at[l_, :, pl.ds(g_ * KVg, KVg)],
+                wbm.at[slot_, :, pl.ds(0, KVg)], wsems.at[1, slot_]),
+            pltpu.make_async_copy(
+                r["wv"].at[l_, :, pl.ds(g_ * KVg, KVg)],
+                wbv_.at[slot_, :, pl.ds(0, KVg)], wsems.at[2, slot_]),
+            pltpu.make_async_copy(
+                r["wo"].at[l_, pl.ds(g_ * Qg, Qg), :],
+                wbd.at[slot_, pl.ds(0, Qg), :], wsems.at[3, slot_]),
+        ]
+
+    def mlp_copies(l_, kk_, slot_, width):
+        cps = [pltpu.make_async_copy(
+            r["w_up"].at[l_, :, pl.ds(kk_ * ic, width)],
+            wbu.at[slot_, :, pl.ds(0, width)], wsems.at[0, slot_])]
+        if gated:
+            cps.append(pltpu.make_async_copy(
+                r["w_gate"].at[l_, :, pl.ds(kk_ * ic, width)],
+                wbm.at[slot_, :, pl.ds(0, width)], wsems.at[1, slot_]))
+        cps.append(pltpu.make_async_copy(
+            r["w_down"].at[l_, pl.ds(kk_ * ic, width), :],
+            wbd.at[slot_, pl.ds(0, width), :], wsems.at[3, slot_]))
+        return cps
+
+    def start(cps):
+        for c in cps:
+            c.start()
+
+    def wait(cps):
+        for c in cps:
+            c.wait()
+
+    @pl.when(step == 0)  # warm start: fetch the very first phase's weights
+    def _():
+        start(attn_copies(0, 0, 0) if Ka > 0 else
+              mlp_copies(0, 0, 0, ic if Km > 1 else ic_edge))
+
+    # prefetch the NEXT phase's chunks into the other slot
+    last = (layer == L - 1) & (s_idx == S - 1)
+    nxt_l = jnp.where(s_idx == S - 1, layer + 1, layer)
+    nxt_s = jnp.where(s_idx == S - 1, 0, s_idx + 1)
+    nslot = 1 - slot
+
+    @pl.when(jnp.logical_not(last) & (nxt_s < Ka))
+    def _():
+        start(attn_copies(nxt_l, nxt_s, nslot))
+
+    @pl.when(jnp.logical_not(last) & (nxt_s >= Ka) & (nxt_s < S - 1))
+    def _():
+        start(mlp_copies(nxt_l, nxt_s - Ka, nslot, ic))
+
+    @pl.when(jnp.logical_not(last) & (nxt_s == S - 1) & (nxt_s >= Ka))
+    def _():
+        start(mlp_copies(nxt_l, Km - 1, nslot, ic_edge))
 
     @pl.when((layer == 0) & (s_idx == 0))
     def _():
@@ -280,10 +378,11 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
     @pl.when(s_idx < Ka)
     def _attn():
         g = s_idx
+        wait(attn_copies(layer, g, slot))
         h16 = h_scr[...]
-        q = _mmc(h16, r["wq"], r["bq"], r["sq"])              # [B, Qg] f32
-        k = _mmc(h16, r["wk"], r["bk"], r["sk"])              # [B, KVg]
-        v = _mmc(h16, r["wv"], r["bv"], r["sv"])
+        q = _mmv(h16, wbu[slot, :, :Qg], r["bq"], r["sq"])    # [B, Qg] f32
+        k = _mmv(h16, wbm[slot, :, :KVg], r["bk"], r["sk"])   # [B, KVg]
+        v = _mmv(h16, wbv_[slot, :, :KVg], r["bv"], r["sv"])
         if r["rotq"] is not None:
             q = (q * r["cosq"][...].astype(jnp.float32)
                  + jnp.dot(q, r["rotq"][...].astype(jnp.float32),
@@ -425,7 +524,7 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
 
         # bo (whole-output bias) is added once at the fold phase, not per
         # group partial-sum
-        o = _mmc(attn, r["wo"], None, r["so"])
+        o = _mmv(attn, wbd[slot, :Qg, :], None, r["so"])
         acc_scr[...] = acc_scr[...] + o
 
     # ---- fold attention result, switch hidden scratch to norm2 -------------
@@ -443,19 +542,29 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
     @pl.when(s_idx >= Ka)
     def _mlp():
         kk = s_idx - Ka
+
+        @pl.when(kk < Km - 1)
+        def _():
+            wait(mlp_copies(layer, kk, slot, ic))
+
+        @pl.when(kk == Km - 1)
+        def _():
+            wait(mlp_copies(layer, Km - 1, slot, ic_edge))
+
         h16 = h_scr[...]
-        u = _mmc(h16, r["w_up"], r["b_up"], r["s_up"])        # [B, ic] f32
-        # mask lanes beyond the true intermediate width (last chunk)
+        u = _mmv(h16, wbu[slot, :, :ic], r["b_up"], r["s_up"])  # [B, ic]
+        # mask lanes beyond the true intermediate width (last chunk reads
+        # ic-wide scratch whose tail is stale — zeroed here before use)
         col = kk * ic + lax.broadcasted_iota(jnp.int32, u.shape, 1)
         valid = col < I_total
         u = jnp.where(valid, u, 0.0)
         if gated:
-            gt = _mmc(h16, r["w_gate"], r["b_gate"], r["s_gate"])
+            gt = _mmv(h16, wbm[slot, :, :ic], r["b_gate"], r["s_gate"])
             gt = jnp.where(valid, gt, 0.0)
         else:
             gt = None
         act = _activate(u, gt, activation).astype(cdtype)
-        wd = r["w_down"][0]
+        wd = wbd[slot, :ic, :]
         # Zero garbage rows of the edge block (unspecified padding may be
         # non-finite; 0 * NaN would poison the matmul), mask+cast+dot in
         # contracting sub-chunks so only a bounded bf16 slice is ever live
@@ -619,25 +728,22 @@ def decode_layer_tiled(
                                      jnp.clip(s - Ka, 0, Km - 1))
         return lambda l, s, *_: (l, jnp.clip(s - Ka, 0, Km - 1), 0)
 
+    # Big weights stream via MANUAL DMA from HBM into the shared pool (see
+    # _tiled_kernel); only their small scales/biases ride the block pipeline.
     CHUNKED = {
-        "wq": ((1, H, Qg), amap("col")),
-        "wk": ((1, H, KVg), amap("col")),
-        "wv": ((1, H, KVg), amap("col")),
-        "wo": ((1, Qg, H), amap("row")),
         "sq": ((1, 1, Qg), amap("col")),
         "sk": ((1, 1, KVg), amap("col")),
         "sv": ((1, 1, KVg), amap("col")),
         "bq": ((1, 1, Qg), amap("col")),
         "bk": ((1, 1, KVg), amap("col")),
         "bv": ((1, 1, KVg), amap("col")),
-        "w_up": ((1, H, ic), mmap("col")),
-        "w_gate": ((1, H, ic), mmap("col")),
         "s_up": ((1, 1, ic), mmap("col")),
         "s_gate": ((1, 1, ic), mmap("col")),
         "b_up": ((1, 1, ic), mmap("col")),
         "b_gate": ((1, 1, ic), mmap("col")),
-        "w_down": ((1, ic, H), mmap("row")),
     }
+    HBM_STREAMED = {"wq", "wk", "wv", "wo", "w_up", "w_gate", "w_down",
+                    "k_cache", "v_cache", "ks_cache", "vs_cache"}
     PER_LAYER_FULL = {"ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
                       "so", "bo", "s_down", "b_down"}
 
@@ -648,7 +754,7 @@ def decode_layer_tiled(
         if v is None:
             continue
         args.append(v)
-        if n in ("k_cache", "v_cache", "ks_cache", "vs_cache"):
+        if n in HBM_STREAMED:
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         elif n in CHUNKED:
             shape, imap = CHUNKED[n]
@@ -690,6 +796,20 @@ def decode_layer_tiled(
         activation=spec.activation, scale=scale, gated=gated,
         grouped=G > 1, cdtype=cdtype, kv_quant=kv_quant, hkvg=hkvg)
 
+    # shared weight pool: 4 double-buffered scratch buffers reused by the
+    # attention and MLP phases (manual DMA; halves the VMEM footprint vs
+    # per-operand pipeline buffers and so doubles the feasible chunk)
+    wdt = wq_.dtype
+    assert all(w is None or w.dtype == wdt
+               for w in (wk_, wv_, wo_, wu_, wg_, wd_)), \
+        "tiled megakernel expects a uniform weight storage dtype"
+    ic_edge = spec.intermediate_size - (tiling.km - 1) * ic
+    algn = {1: 32, 2: 16, 4: 8}.get(jnp.dtype(wdt).itemsize, 8)
+    assert ic % algn == 0 and ic_edge % algn == 0, (
+        "intermediate chunk not DMA-sliceable for this dtype", ic, ic_edge)
+    cup = max(Qg, ic)
+    cmid = max(KVg, ic) if gated else KVg
+    cdn = max(Qg, ic)
     pos_spec = pl.BlockSpec((1, 1), lambda l, s, *_: (0, 0),
                             memory_space=pltpu.SMEM)
     scratch = [
@@ -701,6 +821,13 @@ def decode_layer_tiled(
     ]
     if kv_quant:
         scratch += [pltpu.VMEM((B, hkvp, Smax), jnp.float32)] * 2
+    scratch += [
+        pltpu.VMEM((2, H, cup), wdt),                         # wq / w_up
+        pltpu.VMEM((2, H, cmid), wdt),                        # wk / w_gate
+        pltpu.VMEM((2, H, KVg), wdt),                         # wv
+        pltpu.VMEM((2, cdn, H), wdt),                         # wo / w_down
+        pltpu.SemaphoreType.DMA((4, 2)),                      # weight sems (buffer, slot)
+    ]
     scratch.append(pltpu.SemaphoreType.DMA((6 if kv_quant else 4,)))
 
     outs = pl.pallas_call(
