@@ -195,3 +195,108 @@ def main(argv: Optional[List[str]] = None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Decode-megakernel tuning (cache scan block + lm_head vocab chunk)
+# ---------------------------------------------------------------------------
+
+def mega_decode_key(h: int, kvd: int, batch: int, cache_len: int,
+                    quant: bool) -> str:
+    return (f"mega_decode/h{h}/kv{kvd}/b{batch}/s{_bucket(cache_len)}/"
+            f"{'int8' if quant else 'bf16'}")
+
+
+def lookup_key(key: str) -> Optional[Dict]:
+    return _load_tables().get(key)
+
+
+DECODE_CANDIDATES = tuple(
+    {"cache_block": cb, "vocab_chunk": vc}
+    for cb in (64, 128, 256) for vc in (2560, 4096, 8192))
+
+
+def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
+                cache_len: int = 1024, lo: int = 64, hi: int = 320,
+                candidates=None, save: bool = True,
+                save_path: Optional[str] = None, verbose: bool = False,
+                ) -> Dict:
+    """Time fused-decode (cache_block, vocab_chunk) combos on the real chip
+    with the two-length-marginal methodology and record the winner."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    from mlio_tpu.models import Impl, load_model
+    from mlio_tpu.models.transformer import forward
+    from mlio_tpu.ops.decode_layer import (
+        decode_layer_stack,
+        pad_lm_head_for_mega,
+    )
+    from mlio_tpu.runtime.kv_cache import init_cache
+
+    spec, params = load_model(preset, dtype=jnp.bfloat16)
+    impl = Impl(attention="flash", norm="fused")
+    ids = jnp.zeros((batch, prompt), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("n", "cb", "vc"))
+    def run(params, lm_w, ids, n, cb, vc, lm_V):
+        cache = init_cache(spec, batch, cache_len, dtype=jnp.bfloat16)
+        logits, cache = forward(params, spec, ids, impl=impl, cache=cache)
+        tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+        ck = cache["k"].reshape(*cache["k"].shape[:3], -1)
+        cv = cache["v"].reshape(*cache["v"].shape[:3], -1)
+
+        def step(carry, _):
+            ck, cv, pos, tok = carry
+            x = params["tok_embed"][tok]
+            if spec.positional == "learned":
+                x = x + params["pos_embed"][pos].astype(x.dtype)
+                cs = sn = None
+            else:
+                from mlio_tpu.models.transformer import rope_cos_sin
+                cs, sn = rope_cos_sin(jnp.reshape(pos, (1,)), spec.rope_dim,
+                                      spec.rope_theta, jnp.float32)
+            out = decode_layer_stack(
+                x, params["blocks"], ck, cv, pos, cs, sn, spec=spec,
+                head_norm=(params["final_scale"], params["final_bias"]),
+                lm_head=lm_w, lm_vmajor=True, vocab_chunk=vc,
+                vocab_size=lm_V, cache_block=cb)
+            return (out[1], out[2], pos + 1, out[-1][:, 0]), ()
+
+        (ck, cv, pos, tok), _ = jax.lax.scan(
+            step, (ck, cv, cache["pos"], tok), None, length=n)
+        return tok
+
+    best = None
+    for cand in candidates or DECODE_CANDIDATES:
+        cb, vc = cand["cache_block"], cand["vocab_chunk"]
+        lm_w, lm_V, _ = pad_lm_head_for_mega(params["tok_embed"], True, vc)
+
+        def f(n):
+            return int(run(params, lm_w, ids, n, cb, vc, lm_V)[0])
+        try:
+            f(lo), f(hi)
+        except Exception as e:
+            if verbose:
+                print(f"  cb={cb} vc={vc}: failed {type(e).__name__}")
+            continue
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter(); f(lo); tl = time.perf_counter() - t0
+            t0 = time.perf_counter(); f(hi); th = time.perf_counter() - t0
+            dt = min(dt, (th - tl) / (hi - lo))
+        if verbose:
+            print(f"  cb={cb:4d} vc={vc:5d}: {dt * 1e3:7.3f} ms/step",
+                  flush=True)
+        if best is None or dt < best["_dt"]:
+            best = {"cache_block": cb, "vocab_chunk": vc, "_dt": dt,
+                    "ms": round(dt * 1e3, 4)}
+    if best is None:
+        raise RuntimeError("no decode candidate ran")
+    best.pop("_dt")
+    if save:
+        key = mega_decode_key(spec.hidden_size, spec.kv_dim, batch,
+                              cache_len, False)
+        _save(key, best, save_path)
+    return best

@@ -541,6 +541,7 @@ def decode_layer_stack(
     lm_vmajor: bool = True,
     vocab_chunk: Optional[int] = None,
     vocab_size: Optional[int] = None,      # true V if lm_head is pre-padded
+    cache_block: Optional[int] = None,     # KV scan block (tokens/DMA)
 ):
     """Run all layers of one decode step in a single Pallas kernel.
 
@@ -576,7 +577,10 @@ def decode_layer_stack(
     G = Hq // Hkv
     if scale is None:
         scale = D ** -0.5
-    bs = 128 if Smax % 128 == 0 else 64
+    # KV scan block: smaller blocks waste fewer masked tokens past ctx in
+    # the last block but issue more DMAs — a measured tradeoff, so it is a
+    # tunable (autotune kind "mega_decode").
+    bs = cache_block or (128 if Smax % 128 == 0 else 64)
     while Smax % bs:
         bs //= 2
     gated = spec.activation in ("swiglu", "geglu")

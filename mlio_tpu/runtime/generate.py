@@ -121,8 +121,15 @@ def _generate_impl(
 
         interp = (impl.interpret if impl.interpret is not None
                   else jax.default_backend() != "tpu")
+        # tuned decode knobs (offline: mlio_tpu.ops.autotune.tune_decode)
+        from mlio_tpu.ops.autotune import lookup_key, mega_decode_key
+
+        tuned = lookup_key(mega_decode_key(
+            spec.hidden_size, spec.kv_dim, B, cache_len, quantized)) or {}
+        cache_block = tuned.get("cache_block")
         # pad ONCE at the boundary (an O(V*H) copy must not ride the scan)
-        lm_w, lm_V, lm_Vc = pad_lm_head_for_mega(lm_w, lm_vmajor)
+        lm_w, lm_V, lm_Vc = pad_lm_head_for_mega(
+            lm_w, lm_vmajor, tuned.get("vocab_chunk", 4096))
 
         def step(carry, rng_step):
             cache, token = carry
@@ -144,7 +151,8 @@ def _generate_impl(
                 interpret=interp,
                 head_norm=(params["final_scale"], params["final_bias"]),
                 lm_head=lm_w, lm_head_bias=params.get("lm_head_bias"),
-                lm_vmajor=lm_vmajor, vocab_chunk=lm_Vc, vocab_size=lm_V)
+                lm_vmajor=lm_vmajor, vocab_chunk=lm_Vc, vocab_size=lm_V,
+                cache_block=cache_block)
             new_cache = {"k": out[1], "v": out[2], "pos": pos + 1}
             if "k_scale" in cache:
                 new_cache["k_scale"], new_cache["v_scale"] = out[3], out[4]

@@ -1,65 +1,80 @@
-"""Decompose the headline GPT-2 decode step on the real chip.
+"""Decompose the fused decode step's non-kernel overhead on the real chip.
 
-Uses the REAL generate path (immune to DCE) and the two-length marginal.
-Sweeping context and batch separates the step into:
-  t_step(B, ctx) = t_fixed(weights + epilogue + launches) + B*ctx*c_kv
-so the ctx slope gives the effective KV bandwidth and the extrapolated
-intercept gives the weights+overhead time.
+Each variant removes ONE XLA op around the megakernel while keeping the
+token dependency chain intact (the kernel's emitted token feeds the next
+step's embedding, so nothing can be DCE'd). Marginal method as bench.py.
 """
+import functools
 import time
 
 import jax
 import jax.numpy as jnp
 
 from mlio_tpu.models import Impl, load_model
-from mlio_tpu.runtime import generate
+from mlio_tpu.models.transformer import forward
+from mlio_tpu.ops.decode_layer import decode_layer_stack, pad_lm_head_for_mega
+from mlio_tpu.runtime.kv_cache import init_cache
 
-CACHE = 1024
+B, PROMPT, CACHE = 8, 704, 1024
 LO, HI = 64, 320
-
-
-def marginal(params, spec, impl, B, prompt, reps=3):
-    ids = jnp.zeros((B, prompt), jnp.int32)
-
-    def run(new):
-        out = generate(params, spec, ids, max_new_tokens=new, impl=impl,
-                       cache_len=CACHE)
-        return int(out[0, -1])
-
-    run(LO), run(HI)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter(); run(LO); tl = time.perf_counter() - t0
-        t0 = time.perf_counter(); run(HI); th = time.perf_counter() - t0
-        best = min(best, (th - tl) / (HI - LO))
-    return best * 1e3
 
 
 def main():
     spec, params = load_model("gpt2", dtype=jnp.bfloat16)
     impl = Impl(attention="flash", norm="fused")
-    pts = []
-    for B, prompt in ((8, 704), (8, 384), (8, 128), (2, 704)):
-        ms = marginal(params, spec, impl, B, prompt)
-        avg_ctx = prompt + (LO + HI) // 2
-        pts.append((B, avg_ctx, ms))
-        print(f"B={B} prompt={prompt} avg_ctx={avg_ctx}: {ms:.3f} ms/step",
-              flush=True)
+    ids = jnp.zeros((B, PROMPT), jnp.int32)
+    lm_w, lm_V, lm_Vc = pad_lm_head_for_mega(params["tok_embed"], True)
 
-    # fit ctx slope at B=8
-    b8 = [(c, t) for B, c, t in pts if B == 8]
-    (c1, t1), (c3, t3) = b8[0], b8[-1]
-    slope = (t1 - t3) / (c1 - c3)  # ms per ctx token (B=8)
-    kv_bytes_per_tok = 8 * 2 * spec.num_layers * spec.kv_dim * 2
-    bw = kv_bytes_per_tok / (slope * 1e-3) / 1e9
-    t_fixed = t1 - slope * c1
-    print(f"KV slope: {slope*1e3:.3f} us/ctx-token -> {bw:.0f} GB/s effective"
-          f" KV bandwidth", flush=True)
-    print(f"extrapolated fixed time (weights+epilogue+launch): "
-          f"{t_fixed:.3f} ms", flush=True)
-    wbytes = spec.num_params() * 2
-    print(f"weights-only roofline at 819 GB/s: {wbytes/819e9*1e3:.3f} ms",
-          flush=True)
+    @functools.partial(jax.jit, static_argnames=("n", "mode"))
+    def run(params, lm_w, ids, n, mode):
+        cache = init_cache(spec, B, CACHE, dtype=jnp.bfloat16)
+        logits, cache = forward(params, spec, ids, impl=impl, cache=cache)
+        tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+        ck = cache["k"].reshape(*cache["k"].shape[:3], -1)
+        cv = cache["v"].reshape(*cache["v"].shape[:3], -1)
+
+        def step(carry, _):
+            ck, cv, pos, tok = carry
+            if mode == "noembed":
+                x = (jnp.zeros((B, spec.hidden_size), jnp.bfloat16)
+                     + tok[:, None].astype(jnp.bfloat16) * 1e-6)
+            else:
+                x = params["tok_embed"][tok]
+            if mode != "nopos":
+                x = x + params["pos_embed"][pos].astype(x.dtype)
+            out = decode_layer_stack(
+                x, params["blocks"], ck, cv, pos, None, None, spec=spec,
+                head_norm=(params["final_scale"], params["final_bias"]),
+                lm_head=lm_w, lm_head_bias=None, lm_vmajor=True,
+                vocab_chunk=lm_Vc, vocab_size=lm_V)
+            if mode == "nocache":
+                ck2, cv2 = ck, cv
+            else:
+                ck2, cv2 = out[1], out[2]
+            tok = out[-1][:, 0]
+            return (ck2, cv2, pos + 1, tok), ()
+
+        (ck, cv, pos, tok), _ = jax.lax.scan(
+            step, (ck, cv, cache["pos"], tok), None, length=n)
+        return tok
+
+    def marginal(mode, reps=3):
+        def f(n):
+            return int(run(params, lm_w, ids, n, mode)[0])
+        f(LO), f(HI)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter(); f(LO); tl = time.perf_counter() - t0
+            t0 = time.perf_counter(); f(HI); th = time.perf_counter() - t0
+            best = min(best, (th - tl) / (HI - LO))
+        return best * 1e3
+
+    base = marginal("full")
+    print(f"full    : {base:.3f} ms/step", flush=True)
+    for mode in ("nopos", "noembed", "nocache"):
+        ms = marginal(mode)
+        print(f"{mode:8s}: {ms:.3f} ms/step  (saves {base - ms:+.3f})",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -18,12 +18,21 @@ import jax
 
 
 def main():
+    import os
+
     import bench_extra
 
     names = sys.argv[1:] or ["headline"] + list(bench_extra.SCENARIOS)
     results = {"backend": jax.default_backend(),
                "captured_unix": int(time.time()),
                "results": {}}
+    if os.path.exists("BENCH_extra.json"):  # merge across invocations
+        try:
+            with open("BENCH_extra.json") as f:
+                prev = json.load(f)
+            results["results"].update(prev.get("results", {}))
+        except (OSError, json.JSONDecodeError):
+            pass
     for name in names:
         t0 = time.time()
         try:
