@@ -107,7 +107,7 @@ _NAMES = ["x", "cosq", "sinq", "cosk", "sink", "rotq", "rotk",
           "wv", "sv", "bv", "wo", "so", "bo", "ln2_scale", "ln2_bias",
           "w_up", "s_up", "b_up", "w_gate", "s_gate", "b_gate",
           "w_down", "s_down", "b_down",
-          "final_scale", "final_bias", "lm_w", "lm_b",
+          "final_scale", "final_bias", "lm_w", "lm_b", "pos_embed",
           "k_cache", "v_cache", "ks_cache", "vs_cache"]
 
 
@@ -135,7 +135,8 @@ def _quantize_heads(x, Hkv, D, hkv_pad):
 
 def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
                          norm, eps, activation, scale, gated, grouped,
-                         cdtype, kv_quant, Hkv, L, greedy=None):
+                         cdtype, kv_quant, Hkv, L, greedy=None,
+                         combined=False):
     """One grid step == one transformer layer of the decode step.
 
     With ``greedy`` = (V, Vc, vmajor), grid steps L.. are the fused greedy
@@ -145,15 +146,18 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
     """
     it = iter(refs)
     r = {n: (next(it) if flags[n] else None) for n in _NAMES}
-    x_out, k_new, v_new = next(it), next(it), next(it)
+    x_out, k_new = next(it), next(it)
+    v_new = None if combined else next(it)
     if kv_quant:
         ks_new, vs_new = next(it), next(it)
     tok_out = next(it) if greedy else None
-    x_res, kb, vb = next(it), next(it), next(it)
+    x_res, kb = next(it), next(it)
+    vb = None if combined else next(it)
     if kv_quant:
         ksb, vsb = next(it), next(it)
     if greedy:
         hf_scr, m_tok, i_tok = next(it), next(it), next(it)
+    pe_scr = next(it) if flags["pos_embed"] else None
     sems = next(it)
 
     layer = pl.program_id(0)
@@ -202,7 +206,19 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
 
     @pl.when(layer == 0)
     def _():
-        x_res[...] = r["x"][...].astype(jnp.float32)
+        x = r["x"][...].astype(jnp.float32)
+        if pe_scr is not None:
+            # learned positional embedding folded in: one aligned 8-row DMA
+            # + a dynamic row select (replaces an XLA gather + add per step)
+            pos_align = (pos // 8) * 8
+            cp = pltpu.make_async_copy(
+                r["pos_embed"].at[pl.ds(pos_align, 8), :], pe_scr,
+                sems.at[sems.shape[0] - 1])
+            cp.start()
+            cp.wait()
+            row = pe_scr[pl.ds(pos - pos_align, 1), :]        # [1, H]
+            x = x + row.astype(jnp.float32)
+        x_res[...] = x
 
     @pl.when(layer < L)
     def _layer_body():
@@ -214,13 +230,14 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
             B=B, Hq=Hq, D=D, bs=bs, norm=norm, eps=eps,
             activation=activation, scale=scale, gated=gated,
             grouped=grouped, cdtype=cdtype, kv_quant=kv_quant, Hkv=Hkv,
-            L=L)
+            L=L, combined=combined)
 
 
 def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
                        x_res, kb, vb, ksb, vsb, sems, layer, pos, *,
                        B, Hq, D, bs, norm, eps, activation, scale, gated,
-                       grouped, cdtype, kv_quant, Hkv, L):
+                       grouped, cdtype, kv_quant, Hkv, L, combined=False):
+    KVd = Hkv * D
     x32 = x_res[...]
     h16 = _norm(x32, r["ln1_scale"], r["ln1_bias"], norm, eps).astype(cdtype)
 
@@ -252,6 +269,10 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
         v_new[...] = vq[None, :, None, :]
         ks_new[...] = ksc[None, :, :, None].astype(ks_new.dtype)
         vs_new[...] = vsc[None, :, :, None].astype(vs_new.dtype)
+    elif combined:
+        # one [L, B, 1, 2*KVd] token emit -> ONE cache update in XLA
+        k_new[...] = jnp.concatenate([k, v], axis=-1)[
+            None, :, None, :].astype(k_new.dtype)
     else:
         k_new[...] = k[None, :, None, :].astype(k_new.dtype)
         v_new[...] = v[None, :, None, :].astype(v_new.dtype)
@@ -335,6 +356,10 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
     dbuf = not kv_quant
 
     def kv_copies(j, slot):
+        if combined:  # k|v share lanes of one buffer: ONE DMA per block
+            return (pltpu.make_async_copy(
+                r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb.at[slot],
+                sems.at[slot]),)
         kr = pltpu.make_async_copy(
             r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb.at[slot],
             sems.at[slot])
@@ -346,9 +371,8 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
     if dbuf:
         @pl.when(nb > 0)
         def _():
-            kr, vr = kv_copies(0, 0)
-            kr.start()
-            vr.start()
+            for c in kv_copies(0, 0):
+                c.start()
 
     def block(j, carry):
         m, l, acc = carry
@@ -357,19 +381,24 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
 
             @pl.when(j + 1 < nb)
             def _():
-                kr, vr = kv_copies(j + 1, 1 - slot)
-                kr.start()
-                vr.start()
+                for c in kv_copies(j + 1, 1 - slot):
+                    c.start()
 
-            kr, vr = kv_copies(j, slot)
+            cps = kv_copies(j, slot)
         else:
             slot = 0
-            kr, vr = kv_copies(j, 0)
-            kr.start()
-            vr.start()
-        kr.wait()
-        vr.wait()
-        kbv = kb[slot].astype(bf) if kv_quant else kb[slot]
+            cps = kv_copies(j, 0)
+            for c in cps:
+                c.start()
+        for c in cps:
+            c.wait()
+        if combined:
+            buf = kb[slot]
+            kbv = buf[:, :, :KVd]
+            vals = buf[:, :, KVd:]
+        else:
+            kbv = kb[slot].astype(bf) if kv_quant else kb[slot]
+            vals = vb[slot].astype(bf) if kv_quant else vb[slot]
         s = lax.dot_general(kbv, qmask, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
         p_fold = None
@@ -380,7 +409,6 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
             p_fold = to_qheads_t(vsc)     # fused V dequant (into P@V)
         col = j * bs + lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < ctx, s, NEG_INF)                  # [B, bs, Hq]
-        vals = vb[slot].astype(bf) if kv_quant else vb[slot]
         return softmax_update(s, m, l, acc, vals, p_fold)
 
     m, l, acc = lax.fori_loop(0, nb, block, (m0, l0, a0))
@@ -542,6 +570,8 @@ def decode_layer_stack(
     vocab_chunk: Optional[int] = None,
     vocab_size: Optional[int] = None,      # true V if lm_head is pre-padded
     cache_block: Optional[int] = None,     # KV scan block (tokens/DMA)
+    pos_embed: Optional[jax.Array] = None,  # [Smax_pos, H] learned positions
+    kv_combined: bool = False,             # k|v packed on lanes of k_cache
 ):
     """Run all layers of one decode step in a single Pallas kernel.
 
@@ -573,7 +603,14 @@ def decode_layer_stack(
     Hkv = spec.num_kv_heads
     D = spec.head_size
     Qd = Hq * D
-    assert KVd == Hkv * D, "decode_layer_stack expects a flat cache"
+    if kv_combined:
+        assert v_cache is None and KVd == 2 * Hkv * D, \
+            "combined cache packs k|v on the last axis of k_cache"
+        KVd = Hkv * D
+        assert not (k_scales is not None), \
+            "kv_combined currently supports the bf16 cache only"
+    else:
+        assert KVd == Hkv * D, "decode_layer_stack expects a flat cache"
     G = Hq // Hkv
     if scale is None:
         scale = D ** -0.5
@@ -677,7 +714,7 @@ def decode_layer_stack(
         "b_gate": bp["b_gate"] if gated else None,
         "w_down": wd_, "s_down": sd_, "b_down": bp["b_down"],
         "final_scale": fin_scale, "final_bias": fin_bias,
-        "lm_w": lm_w, "lm_b": lm_b,
+        "lm_w": lm_w, "lm_b": lm_b, "pos_embed": pos_embed,
         "k_cache": kc, "v_cache": vc,
         "ks_cache": k_scales if kv_quant else None,
         "vs_cache": v_scales if kv_quant else None,
@@ -709,7 +746,8 @@ def decode_layer_stack(
         flat_idx[n] = idx
         idx += 1
         args.append(v)
-        if n in ("k_cache", "v_cache", "ks_cache", "vs_cache"):
+        if n in ("k_cache", "v_cache", "ks_cache", "vs_cache",
+                 "pos_embed"):
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         elif n == "lm_w":
             if lm_vmajor:
@@ -732,16 +770,20 @@ def decode_layer_stack(
             in_specs.append(pl.BlockSpec(
                 v.shape, lambda l, *_, _nd=v.ndim: (0,) * _nd))
 
+    kv_out_w = 2 * KVd if kv_combined else KVd
     out_specs = [
         pl.BlockSpec(x.shape, lambda l, *_: (0, 0)),
-        pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (lclamp(l), 0, 0, 0)),
-        pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (lclamp(l), 0, 0, 0)),
+        pl.BlockSpec((1, B, 1, kv_out_w),
+                     lambda l, *_: (lclamp(l), 0, 0, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, H), x.dtype),
-        jax.ShapeDtypeStruct((L, B, 1, KVd), kc.dtype),
-        jax.ShapeDtypeStruct((L, B, 1, KVd), vc.dtype),
+        jax.ShapeDtypeStruct((L, B, 1, kv_out_w), kc.dtype),
     ]
+    if not kv_combined:
+        out_specs.append(pl.BlockSpec((1, B, 1, KVd),
+                                      lambda l, *_: (lclamp(l), 0, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((L, B, 1, KVd), vc.dtype))
     if kv_quant:
         hkv_pad = _pad(Hkv, 8)
         assert k_scales.shape == (L, B, hkv_pad, Smax), (
@@ -761,25 +803,30 @@ def decode_layer_stack(
         _decode_stack_kernel, flags=flags, B=B, Hq=Hq, D=D, bs=bs,
         norm=spec.norm, eps=spec.norm_eps, activation=spec.activation,
         scale=scale, gated=gated, grouped=G > 1, cdtype=cdtype,
-        kv_quant=kv_quant, Hkv=Hkv, L=L, greedy=greedy)
+        kv_quant=kv_quant, Hkv=Hkv, L=L, greedy=greedy,
+        combined=kv_combined)
 
     # pos rides in SMEM as a (1,1) operand — scalar PREFETCH measurably
     # halves pipeline throughput here and no index map needs pos, so a
     # plain grid + SMEM scalar is the right shape.
     pos_spec = pl.BlockSpec((1, 1), lambda l, *_: (0, 0),
                             memory_space=pltpu.SMEM)
-    scratch = [
-        pltpu.VMEM((B, H), jnp.float32),                      # residual
-        pltpu.VMEM((2, B, bs, KVd), kc.dtype),                # k double-buffer
-        pltpu.VMEM((2, B, bs, KVd), vc.dtype),                # v double-buffer
-    ]
+    scratch = [pltpu.VMEM((B, H), jnp.float32)]               # residual
+    if kv_combined:
+        scratch.append(pltpu.VMEM((2, B, bs, 2 * KVd), kc.dtype))  # kv dbuf
+    else:
+        scratch += [pltpu.VMEM((2, B, bs, KVd), kc.dtype),    # k dbl-buffer
+                    pltpu.VMEM((2, B, bs, KVd), vc.dtype)]    # v dbl-buffer
     if kv_quant:
         scratch += [pltpu.VMEM((B, _pad(Hkv, 8), Smax), jnp.float32)] * 2
     if greedy:
         scratch += [pltpu.VMEM((B, H), cdtype),          # final-norm hidden
                     pltpu.VMEM((B, 1), jnp.float32),     # running max
                     pltpu.VMEM((B, 1), jnp.int32)]       # running argmax
-    scratch.append(pltpu.SemaphoreType.DMA((6 if kv_quant else 4,)))
+    if pos_embed is not None:
+        scratch.append(pltpu.VMEM((8, H), pos_embed.dtype))  # pe slab
+    n_sems = (6 if kv_quant else 4) + (1 if pos_embed is not None else 0)
+    scratch.append(pltpu.SemaphoreType.DMA((n_sems,)))
 
     outs = pl.pallas_call(
         kernel,
@@ -796,10 +843,14 @@ def decode_layer_stack(
     )(jnp.asarray(pos, jnp.int32).reshape(1, 1), *args)
     # one token write per STEP (all layers at once) — outside the kernel
     # because a 1-sublane DMA into the tiled cache is not expressible inside
+    tok = (outs[-1],) if greedy else ()
+    if kv_combined:
+        x_out, kv_out = outs[:2]
+        kc = lax.dynamic_update_slice(kc, kv_out, (0, 0, pos, 0))
+        return (x_out, kc) + tok
     x_out, k_out, v_out = outs[:3]
     kc = lax.dynamic_update_slice(kc, k_out, (0, 0, pos, 0))
     vc = lax.dynamic_update_slice(vc, v_out, (0, 0, pos, 0))
-    tok = (outs[-1],) if greedy else ()
     if kv_quant:
         ks = lax.dynamic_update_slice(k_scales, outs[3], (0, 0, 0, pos))
         vs = lax.dynamic_update_slice(v_scales, outs[4], (0, 0, 0, pos))

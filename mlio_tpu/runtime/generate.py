@@ -130,6 +130,13 @@ def _generate_impl(
         # pad ONCE at the boundary (an O(V*H) copy must not ride the scan)
         lm_w, lm_V, lm_Vc = pad_lm_head_for_mega(
             lm_w, lm_vmajor, tuned.get("vocab_chunk", 4096))
+        # bf16 cache: pack k|v on lanes of ONE buffer (one DMA per scan
+        # block in-kernel, one cache-update op per step outside)
+        kv_combined = not quantized
+        if kv_combined:
+            cache = dict(cache)
+            cache["kv"] = jnp.concatenate([cache.pop("k"), cache.pop("v")],
+                                          axis=-1)
 
         def step(carry, rng_step):
             cache, token = carry
@@ -138,13 +145,14 @@ def _generate_impl(
             if spec.embed_scale is not None:
                 x = x * jnp.asarray(spec.embed_scale, x.dtype)
             if spec.positional == "learned":
-                x = x + params["pos_embed"][pos].astype(x.dtype)
-                cs = sn = None
+                cs = sn = None  # pos_embed row added IN-KERNEL (see below)
             else:
                 cs, sn = rope_cos_sin(jnp.reshape(pos, (1,)), spec.rope_dim,
                                       spec.rope_theta, jnp.float32)
             out = decode_layer_stack(
-                x, params["blocks"], cache["k"], cache["v"], pos, cs, sn,
+                x, params["blocks"],
+                cache["kv"] if kv_combined else cache["k"],
+                None if kv_combined else cache["v"], pos, cs, sn,
                 spec=spec,
                 k_scales=cache.get("k_scale"),
                 v_scales=cache.get("v_scale"),
@@ -152,10 +160,16 @@ def _generate_impl(
                 head_norm=(params["final_scale"], params["final_bias"]),
                 lm_head=lm_w, lm_head_bias=params.get("lm_head_bias"),
                 lm_vmajor=lm_vmajor, vocab_chunk=lm_Vc, vocab_size=lm_V,
-                cache_block=cache_block)
-            new_cache = {"k": out[1], "v": out[2], "pos": pos + 1}
-            if "k_scale" in cache:
-                new_cache["k_scale"], new_cache["v_scale"] = out[3], out[4]
+                cache_block=cache_block, kv_combined=kv_combined,
+                pos_embed=(params["pos_embed"]
+                           if spec.positional == "learned" else None))
+            if kv_combined:
+                new_cache = {"kv": out[1], "pos": pos + 1}
+            else:
+                new_cache = {"k": out[1], "v": out[2], "pos": pos + 1}
+                if "k_scale" in cache:
+                    new_cache["k_scale"] = out[3]
+                    new_cache["v_scale"] = out[4]
             new_token = out[-1][:, 0]
             return (new_cache, new_token), token
     else:
