@@ -144,8 +144,12 @@ def _generate_impl(
             x = params["tok_embed"][token]  # [B, H]
             if spec.embed_scale is not None:
                 x = x * jnp.asarray(spec.embed_scale, x.dtype)
+            pe_in_kernel = (spec.positional == "learned"
+                            and params["pos_embed"].shape[0] % 8 == 0)
             if spec.positional == "learned":
-                cs = sn = None  # pos_embed row added IN-KERNEL (see below)
+                cs = sn = None
+                if not pe_in_kernel:  # odd-length table: XLA add fallback
+                    x = x + params["pos_embed"][pos].astype(x.dtype)
             else:
                 cs, sn = rope_cos_sin(jnp.reshape(pos, (1,)), spec.rope_dim,
                                       spec.rope_theta, jnp.float32)
@@ -161,8 +165,7 @@ def _generate_impl(
                 lm_head=lm_w, lm_head_bias=params.get("lm_head_bias"),
                 lm_vmajor=lm_vmajor, vocab_chunk=lm_Vc, vocab_size=lm_V,
                 cache_block=cache_block, kv_combined=kv_combined,
-                pos_embed=(params["pos_embed"]
-                           if spec.positional == "learned" else None))
+                pos_embed=params["pos_embed"] if pe_in_kernel else None)
             if kv_combined:
                 new_cache = {"kv": out[1], "pos": pos + 1}
             else:
