@@ -48,7 +48,9 @@ def shape_class(kind: str, sq: int, skv: int, d: int, dtype: str,
 @functools.lru_cache(maxsize=None)
 def _load_tables() -> Dict[str, Dict]:
     table: Dict[str, Dict] = {}
-    for path in (_TABLE_PATH, os.environ.get("MLIO_AUTOTUNE_CACHE", "")):
+    for path in (_TABLE_PATH,
+                 os.path.expanduser("~/.cache/mlio_tpu/autotune_table.json"),
+                 os.environ.get("MLIO_AUTOTUNE_CACHE", "")):
         if path and os.path.exists(path):
             try:
                 with open(path) as f:
@@ -66,18 +68,32 @@ def lookup(kind: str, sq: int, skv: int, d: int, dtype: str,
 
 
 def _save(key: str, entry: Dict, path: Optional[str] = None) -> None:
-    path = path or os.environ.get("MLIO_AUTOTUNE_CACHE") or _TABLE_PATH
-    table = {}
-    if os.path.exists(path):
+    """Record a tuned entry. Atomic (temp-file rename, so concurrent tuners
+    never interleave partial JSON) and tolerant of a read-only install: if
+    the package dir is not writable, fall back to the user cache path."""
+    candidates = [p for p in (
+        path, os.environ.get("MLIO_AUTOTUNE_CACHE"), _TABLE_PATH,
+        os.path.expanduser("~/.cache/mlio_tpu/autotune_table.json"),
+    ) if p]
+    for target in candidates:
+        table = {}
+        if os.path.exists(target):
+            try:
+                with open(target) as f:
+                    table = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass
+        table[key] = entry
+        tmp = f"{target}.tmp.{os.getpid()}"
         try:
-            with open(path) as f:
-                table = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            pass
-    table[key] = entry
-    with open(path, "w") as f:
-        json.dump(table, f, indent=1, sort_keys=True)
-    _load_tables.cache_clear()
+            os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
+            with open(tmp, "w") as f:
+                json.dump(table, f, indent=1, sort_keys=True)
+            os.replace(tmp, target)
+        except OSError:
+            continue
+        _load_tables.cache_clear()
+        return
 
 
 # ---------------------------------------------------------------------------
@@ -213,7 +229,7 @@ def lookup_key(key: str) -> Optional[Dict]:
 
 DECODE_CANDIDATES = tuple(
     {"cache_block": cb, "vocab_chunk": vc}
-    for cb in (64, 128, 256) for vc in (2560, 4096, 8192))
+    for cb in (64, 128, 256, 512) for vc in (2560, 4096, 8192))
 
 
 def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
@@ -239,19 +255,30 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
     impl = Impl(attention="flash", norm="fused")
     ids = jnp.zeros((batch, prompt), jnp.int32)
 
-    @functools.partial(jax.jit, static_argnames=("n", "cb", "vc"))
+    # mirror the SHIPPING fused path (runtime/generate.py): combined k|v
+    # cache when the lane split is 128-aligned, learned pos-embed folded
+    # into the kernel when the table length allows the aligned 8-row DMA.
+    combined = spec.kv_dim % 128 == 0
+    pe_in_kernel = (spec.positional == "learned"
+                    and spec.max_seq_len % 8 == 0)
+
+    @functools.partial(jax.jit, static_argnames=("n", "cb", "vc", "lm_V"))
     def run(params, lm_w, ids, n, cb, vc, lm_V):
         cache = init_cache(spec, batch, cache_len, dtype=jnp.bfloat16)
         logits, cache = forward(params, spec, ids, impl=impl, cache=cache)
         tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
         ck = cache["k"].reshape(*cache["k"].shape[:3], -1)
         cv = cache["v"].reshape(*cache["v"].shape[:3], -1)
+        if combined:
+            ck = jnp.concatenate([ck, cv], axis=-1)
+            cv = None
 
         def step(carry, _):
             ck, cv, pos, tok = carry
             x = params["tok_embed"][tok]
             if spec.positional == "learned":
-                x = x + params["pos_embed"][pos].astype(x.dtype)
+                if not pe_in_kernel:
+                    x = x + params["pos_embed"][pos].astype(x.dtype)
                 cs = sn = None
             else:
                 from mlio_tpu.models.transformer import rope_cos_sin
@@ -261,8 +288,11 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
                 x, params["blocks"], ck, cv, pos, cs, sn, spec=spec,
                 head_norm=(params["final_scale"], params["final_bias"]),
                 lm_head=lm_w, lm_vmajor=True, vocab_chunk=vc,
-                vocab_size=lm_V, cache_block=cb)
-            return (out[1], out[2], pos + 1, out[-1][:, 0]), ()
+                vocab_size=lm_V, cache_block=cb, kv_combined=combined,
+                pos_embed=params["pos_embed"] if pe_in_kernel else None)
+            ck2 = out[1]
+            cv2 = None if combined else out[2]
+            return (ck2, cv2, pos + 1, out[-1][:, 0]), ()
 
         (ck, cv, pos, tok), _ = jax.lax.scan(
             step, (ck, cv, cache["pos"], tok), None, length=n)

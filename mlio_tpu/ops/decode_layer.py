@@ -136,7 +136,7 @@ def _quantize_heads(x, Hkv, D, hkv_pad):
 def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
                          norm, eps, activation, scale, gated, grouped,
                          cdtype, kv_quant, Hkv, L, greedy=None,
-                         combined=False):
+                         combined=False, in_place=False):
     """One grid step == one transformer layer of the decode step.
 
     With ``greedy`` = (V, Vc, vmajor), grid steps L.. are the fused greedy
@@ -146,8 +146,16 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
     """
     it = iter(refs)
     r = {n: (next(it) if flags[n] else None) for n in _NAMES}
-    x_out, k_new = next(it), next(it)
-    v_new = None if combined else next(it)
+    x_out = next(it)
+    if in_place:
+        # the cache is an aliased output: the kernel writes the current
+        # token's 8-row slab directly (no XLA dynamic_update_slice per step)
+        cache_out = next(it)
+        k_new = v_new = None
+    else:
+        cache_out = None
+        k_new = next(it)
+        v_new = None if combined else next(it)
     if kv_quant:
         ks_new, vs_new = next(it), next(it)
     tok_out = next(it) if greedy else None
@@ -155,6 +163,7 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
     vb = None if combined else next(it)
     if kv_quant:
         ksb, vsb = next(it), next(it)
+    slab_scr = next(it) if in_place else None
     if greedy:
         hf_scr, m_tok, i_tok = next(it), next(it), next(it)
     pe_scr = next(it) if flags["pos_embed"] else None
@@ -209,15 +218,21 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
         x = r["x"][...].astype(jnp.float32)
         if pe_scr is not None:
             # learned positional embedding folded in: one aligned 8-row DMA
-            # + a dynamic row select (replaces an XLA gather + add per step)
-            pos_align = (pos // 8) * 8
+            # + a masked-reduction row select (replaces an XLA gather + add
+            # per step). The select must NOT be a dynamic sublane slice —
+            # Mosaic requires provable 8-alignment of sublane starts, and
+            # pos % 8 has none — so pick the row as sum(onehot * slab).
+            pos_align = pl.multiple_of((pos // 8) * 8, 8)
             cp = pltpu.make_async_copy(
                 r["pos_embed"].at[pl.ds(pos_align, 8), :], pe_scr,
                 sems.at[sems.shape[0] - 1])
             cp.start()
             cp.wait()
-            row = pe_scr[pl.ds(pos - pos_align, 1), :]        # [1, H]
-            x = x + row.astype(jnp.float32)
+            slab = pe_scr[...].astype(jnp.float32)            # [8, H]
+            rows = lax.broadcasted_iota(jnp.int32, slab.shape, 0)
+            row = jnp.sum(jnp.where(rows == pos - pos_align, slab, 0.0),
+                          axis=0, keepdims=True)              # [1, H]
+            x = x + row
         x_res[...] = x
 
     @pl.when(layer < L)
@@ -230,13 +245,15 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
             B=B, Hq=Hq, D=D, bs=bs, norm=norm, eps=eps,
             activation=activation, scale=scale, gated=gated,
             grouped=grouped, cdtype=cdtype, kv_quant=kv_quant, Hkv=Hkv,
-            L=L, combined=combined)
+            L=L, combined=combined, cache_out=cache_out,
+            slab_scr=slab_scr)
 
 
 def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
                        x_res, kb, vb, ksb, vsb, sems, layer, pos, *,
                        B, Hq, D, bs, norm, eps, activation, scale, gated,
-                       grouped, cdtype, kv_quant, Hkv, L, combined=False):
+                       grouped, cdtype, kv_quant, Hkv, L, combined=False,
+                       cache_out=None, slab_scr=None):
     KVd = Hkv * D
     x32 = x_res[...]
     h16 = _norm(x32, r["ln1_scale"], r["ln1_bias"], norm, eps).astype(cdtype)
@@ -254,11 +271,30 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
         k = k * cosk + jnp.dot(k, r["rotk"][...].astype(jnp.float32),
                                preferred_element_type=jnp.float32) * sink
 
-    # ---- emit current K/V as pipelined outputs [L, B, 1, KVd]; the caller
-    # merges them into the cache with ONE dynamic_update_slice per step (a
-    # single-token DMA into the (8,128)-tiled cache is not sliceable from
-    # inside the kernel). The attention below keeps the current token IN
-    # VMEM, so nothing here depends on the cache being updated yet.
+    # ---- cache write. Preferred (in-place) path: the cache is an ALIASED
+    # output and the kernel read-modify-writes the 8-row-aligned slab
+    # containing position ``pos`` with two tiny DMAs — no per-step XLA
+    # dynamic_update_slice (measured 25us/step: a 1-sublane update into the
+    # (16,128)-tiled cache RMWs whole tiles). A single-token DMA is not
+    # sliceable (sublane alignment), but the 8-row slab IS. The slab read
+    # starts here and overlaps the attention block scan (read-read overlap
+    # is safe); the write happens after the scan's last block read.
+    slab_rd = None
+    if cache_out is not None:
+        pos_al = pl.multiple_of((pos // 8) * 8, 8)
+
+        # the previous layer's slab WRITE (deferred off its critical path)
+        # must finish before its source scratch is overwritten by our read
+        @pl.when(layer > 0)
+        def _():
+            pltpu.make_async_copy(
+                slab_scr, cache_out.at[layer - 1, :, pl.ds(pos_al, 8)],
+                sems.at[5]).wait()
+
+        slab_rd = pltpu.make_async_copy(
+            r["k_cache"].at[layer, :, pl.ds(pos_al, 8)], slab_scr,
+            sems.at[4])
+        slab_rd.start()
     if kv_quant:
         # quantize like the cache stores it and attend with the DEQUANTIZED
         # values so the result matches the scan path bit-for-bit
@@ -269,6 +305,8 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
         v_new[...] = vq[None, :, None, :]
         ks_new[...] = ksc[None, :, :, None].astype(ks_new.dtype)
         vs_new[...] = vsc[None, :, :, None].astype(vs_new.dtype)
+    elif cache_out is not None:
+        pass  # in-place slab write below, after the block scan
     elif combined:
         # one [L, B, 1, 2*KVd] token emit -> ONE cache update in XLA
         k_new[...] = jnp.concatenate([k, v], axis=-1)[
@@ -420,6 +458,27 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
     s_cur = lax.dot_general(kf, qmask, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     m, l, acc = softmax_update(s_cur, m, l, acc, vf)
+
+    if cache_out is not None:
+        # all block-scan reads of the overlap tile are done: fold the
+        # current token into the slab and write it back (2 x 98KB DMAs vs a
+        # 25us XLA dynamic_update_slice)
+        slab_rd.wait()
+        W = slab_scr.shape[-1]
+        cur = (jnp.concatenate([k, v], axis=-1) if combined else k)[:, None]
+        rows = lax.broadcasted_iota(jnp.int32, (B, 8, W), 1)
+        slab_new = jnp.where(rows == pos - pos_al, cur,
+                             slab_scr[...].astype(jnp.float32))
+        slab_scr[...] = slab_new.astype(slab_scr.dtype)
+        slab_wr = pltpu.make_async_copy(
+            slab_scr, cache_out.at[layer, :, pl.ds(pos_al, 8)], sems.at[5])
+        slab_wr.start()
+
+        # deferred: layers 0..L-2 are awaited by the NEXT layer's read
+        # guard; only the last layer's write sits on the critical path
+        @pl.when(layer == L - 1)
+        def _():
+            slab_wr.wait()
 
     l_lane = jnp.squeeze(lax.dot_general(
         l, expf, (((2,), (0,)), ((), ())),
@@ -770,16 +829,19 @@ def decode_layer_stack(
             in_specs.append(pl.BlockSpec(
                 v.shape, lambda l, *_, _nd=v.ndim: (0,) * _nd))
 
+    # In-place cache update: combined bf16 caches alias input->output and
+    # the kernel slab-writes the current token itself (no XLA DUS per step).
+    in_place = kv_combined and not kv_quant
     kv_out_w = 2 * KVd if kv_combined else KVd
-    out_specs = [
-        pl.BlockSpec(x.shape, lambda l, *_: (0, 0)),
-        pl.BlockSpec((1, B, 1, kv_out_w),
-                     lambda l, *_: (lclamp(l), 0, 0, 0)),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((B, H), x.dtype),
-        jax.ShapeDtypeStruct((L, B, 1, kv_out_w), kc.dtype),
-    ]
+    out_specs = [pl.BlockSpec(x.shape, lambda l, *_: (0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, H), x.dtype)]
+    if in_place:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct(kc.shape, kc.dtype))
+    else:
+        out_specs.append(pl.BlockSpec((1, B, 1, kv_out_w),
+                                      lambda l, *_: (lclamp(l), 0, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((L, B, 1, kv_out_w), kc.dtype))
     if not kv_combined:
         out_specs.append(pl.BlockSpec((1, B, 1, KVd),
                                       lambda l, *_: (lclamp(l), 0, 0, 0)))
@@ -804,7 +866,7 @@ def decode_layer_stack(
         norm=spec.norm, eps=spec.norm_eps, activation=spec.activation,
         scale=scale, gated=gated, grouped=G > 1, cdtype=cdtype,
         kv_quant=kv_quant, Hkv=Hkv, L=L, greedy=greedy,
-        combined=kv_combined)
+        combined=kv_combined, in_place=in_place)
 
     # pos rides in SMEM as a (1,1) operand — scalar PREFETCH measurably
     # halves pipeline throughput here and no index map needs pos, so a
@@ -819,13 +881,16 @@ def decode_layer_stack(
                     pltpu.VMEM((2, B, bs, KVd), vc.dtype)]    # v dbl-buffer
     if kv_quant:
         scratch += [pltpu.VMEM((B, _pad(Hkv, 8), Smax), jnp.float32)] * 2
+    if in_place:
+        scratch.append(pltpu.VMEM((B, 8, 2 * KVd), kc.dtype))  # cache slab
     if greedy:
         scratch += [pltpu.VMEM((B, H), cdtype),          # final-norm hidden
                     pltpu.VMEM((B, 1), jnp.float32),     # running max
                     pltpu.VMEM((B, 1), jnp.int32)]       # running argmax
     if pos_embed is not None:
         scratch.append(pltpu.VMEM((8, H), pos_embed.dtype))  # pe slab
-    n_sems = (6 if kv_quant else 4) + (1 if pos_embed is not None else 0)
+    n_sems = ((6 if kv_quant else 4) + (2 if in_place else 0)
+              + (1 if pos_embed is not None else 0))
     scratch.append(pltpu.SemaphoreType.DMA((n_sems,)))
 
     outs = pl.pallas_call(
@@ -835,15 +900,20 @@ def decode_layer_stack(
         out_specs=out_specs,
         scratch_shapes=scratch,
         out_shape=out_shape,
+        input_output_aliases=({flat_idx["k_cache"]: 1} if in_place else {}),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32).reshape(1, 1), *args)
-    # one token write per STEP (all layers at once) — outside the kernel
-    # because a 1-sublane DMA into the tiled cache is not expressible inside
+    # non-in-place paths: one token write per STEP (all layers at once) —
+    # outside the kernel because a 1-sublane DMA into the tiled cache is
+    # not expressible inside (int8 scale caches have a sub-128 minor dim,
+    # so the quantized path keeps the XLA update)
     tok = (outs[-1],) if greedy else ()
+    if in_place:
+        return (outs[0], outs[1]) + tok
     if kv_combined:
         x_out, kv_out = outs[:2]
         kc = lax.dynamic_update_slice(kc, kv_out, (0, 0, pos, 0))

@@ -131,13 +131,10 @@ def _generate_impl(
         lm_w, lm_V, lm_Vc = pad_lm_head_for_mega(
             lm_w, lm_vmajor, tuned.get("vocab_chunk", 4096))
         # bf16 cache: pack k|v on lanes of ONE buffer (one DMA per scan
-        # block in-kernel, one cache-update op per step outside).
-        # Gated OFF by default until validated on real hardware (interpret
-        # mode accepts layouts Mosaic may reject): MLIO_DECODE_EXTRAS=1.
-        import os as _os
-
-        extras = _os.environ.get("MLIO_DECODE_EXTRAS", "0") == "1"
-        kv_combined = (not quantized) and extras
+        # block in-kernel, one cache-update op per step outside). The
+        # in-kernel lane split at KVd needs 128-lane alignment (Mosaic
+        # cannot slice mid-tile), so small-KVd models keep split caches.
+        kv_combined = (not quantized) and spec.kv_dim % 128 == 0
         if kv_combined:
             cache = dict(cache)
             cache["kv"] = jnp.concatenate([cache.pop("k"), cache.pop("v")],
@@ -149,7 +146,7 @@ def _generate_impl(
             x = params["tok_embed"][token]  # [B, H]
             if spec.embed_scale is not None:
                 x = x * jnp.asarray(spec.embed_scale, x.dtype)
-            pe_in_kernel = (extras and spec.positional == "learned"
+            pe_in_kernel = (spec.positional == "learned"
                             and params["pos_embed"].shape[0] % 8 == 0)
             if spec.positional == "learned":
                 cs = sn = None
