@@ -65,6 +65,12 @@ def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
             v_scale = v_scale.swapaxes(1, 2)
     if kind == "ring" and mask is None:
         from mlio_tpu.ops import ring_attention as ra
+        if dropout_rate > 0.0:
+            raise NotImplementedError(
+                "attention dropout is not plumbed through the ring chunk "
+                "schedule; use the flash or dense path for dropout "
+                "(the docstring's identical-masks contract would otherwise "
+                "be silently violated)")
         if k_scale is not None:
             from mlio_tpu.ops.quant import dequantize_kv
             k = dequantize_kv(k, k_scale, q.dtype)

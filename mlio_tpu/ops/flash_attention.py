@@ -533,8 +533,15 @@ def flash_attention(
         entry = _tuned("flash_fwd", Sq, Skv, D, jnp.dtype(q.dtype).name,
                        causal, chunk_needed)
         if block_q is None:
-            block_q = (entry or {}).get(
-                "block_q", 512 if chunk_needed else 256)
+            tuned_bq = (entry or {}).get("block_q")
+            if tuned_bq is not None:
+                # a table-sourced block_q counts as pinned: the streamed
+                # long-context path must run at the tile the tuner actually
+                # timed, not its own sbq heuristic (ADVICE r2)
+                block_q = tuned_bq
+                user_pinned_bq = True
+            else:
+                block_q = 512 if chunk_needed else 256
         if block_kv is None:
             block_kv = (entry or {}).get(
                 "block_kv", 1024 if chunk_needed else 512)

@@ -215,18 +215,45 @@ class BottleneckAnalyzer:
         )
 
 
-def identify_compute_bound_ops(cost: Dict[str, float],
+def _per_op_bound(source: Any, compute: bool, min_pct: float) -> List[str]:
+    """Shared walk: classify each OpTable row by its own arithmetic
+    intensity against the chip ridge point. ``source`` is an xplane OpTable
+    / KernelProfileResults (per-op flops + bytes from the trace's XLA cost
+    stats) or, legacy, a whole-executable cost dict."""
+    ridge = PEAK_FLOPS["bf16"] / (HBM_GBPS * 1e9)
+    table = getattr(source, "table", source)
+    ops = getattr(table, "ops", None)
+    if ops is None:  # whole-executable cost dict (jit(...).cost_analysis())
+        flops = source.get("flops", 0.0)
+        bytes_ = source.get("bytes accessed", 0.0)
+        if not bytes_:
+            return []
+        is_compute = flops / bytes_ >= ridge
+        return ["executable"] if is_compute == compute else []
+    out = []
+    for op in ops:
+        if op.pct < min_pct:
+            continue
+        if not op.bytes_accessed:
+            continue  # trace carried no cost stats for this op
+        is_compute = op.flops / op.bytes_accessed >= ridge
+        if is_compute == compute:
+            out.append(op.name)
+    return out
+
+
+def identify_compute_bound_ops(source: Any, min_pct: float = 1.0,
                                threshold: float = 10.0) -> List[str]:
-    """(parity: bottleneck_analyzer.py:330-384)."""
-    ridge = PEAK_FLOPS["bf16"] / (HBM_GBPS * 1e9)
-    flops = cost.get("flops", 0.0)
-    bytes_ = cost.get("bytes accessed", 1.0)
-    return ["executable"] if bytes_ and flops / bytes_ >= ridge else []
+    """Names of ops whose arithmetic intensity puts them above the ridge
+    point (MXU-bound). Accepts an xplane ``OpTable`` /
+    ``KernelProfileResults`` — per-op flops and bytes come from the XLA
+    cost stats in the device trace — or a whole-executable cost dict
+    (parity: bottleneck_analyzer.py:330-384)."""
+    return _per_op_bound(source, compute=True, min_pct=min_pct)
 
 
-def identify_memory_bound_ops(cost: Dict[str, float]) -> List[str]:
-    """(parity: bottleneck_analyzer.py:386-440)."""
-    ridge = PEAK_FLOPS["bf16"] / (HBM_GBPS * 1e9)
-    flops = cost.get("flops", 0.0)
-    bytes_ = cost.get("bytes accessed", 0.0)
-    return ["executable"] if bytes_ and flops / bytes_ < ridge else []
+def identify_memory_bound_ops(source: Any, min_pct: float = 1.0) -> List[str]:
+    """Names of ops below the ridge point (HBM-bound); same sources as
+    :func:`identify_compute_bound_ops` (parity:
+    bottleneck_analyzer.py:386-440)."""
+    return _per_op_bound(source, compute=False, min_pct=min_pct)

@@ -104,6 +104,7 @@ class XEvent:
     offset_ps: int
     duration_ps: int
     num_occurrences: int = 0
+    stats: Dict[int, float] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -118,6 +119,33 @@ class XPlane:
     lines: List[XLine]
     event_names: Dict[int, str]          # metadata_id -> op name
     event_display: Dict[int, str]        # metadata_id -> display name (fused op)
+    stat_names: Dict[int, str] = dataclasses.field(default_factory=dict)
+    # metadata_id -> {stat_metadata_id: numeric value} (per-op-kind stats —
+    # XLA attaches "flops" / "bytes accessed" here on device planes)
+    event_meta_stats: Dict[int, Dict[int, float]] = dataclasses.field(
+        default_factory=dict)
+
+
+def _unpack_f64(raw: bytes) -> float:
+    import struct
+
+    return struct.unpack("<d", raw)[0]
+
+
+def _parse_stat(buf: bytes) -> Tuple[int, Optional[float]]:
+    """XStat: metadata_id=1; value oneof double=2(fixed64) / uint64=3 /
+    int64=4 / str=5 / bytes=6 / ref=7. Returns numeric value or None."""
+    mid, val = 0, None
+    for field, wire, v in _fields(buf):
+        if field == 1:
+            mid = v
+        elif field == 2 and wire == 1:
+            val = _unpack_f64(v)
+        elif field == 3 and wire == 0:
+            val = float(v)
+        elif field == 4 and wire == 0:
+            val = float(_zigzag_ok_int(v))
+    return mid, val
 
 
 def _parse_event(buf: bytes) -> XEvent:
@@ -131,6 +159,10 @@ def _parse_event(buf: bytes) -> XEvent:
             ev.duration_ps = _zigzag_ok_int(val)
         elif field == 5:
             ev.num_occurrences = val
+        elif field == 4:
+            mid, v = _parse_stat(val)
+            if v is not None:
+                ev.stats[mid] = v
     return ev
 
 
@@ -148,8 +180,10 @@ def _parse_line(buf: bytes) -> XLine:
     return XLine(display or name, events)
 
 
-def _parse_event_metadata(buf: bytes) -> Tuple[int, str, str]:
+def _parse_event_metadata(buf: bytes) -> Tuple[int, str, str,
+                                               Dict[int, float]]:
     mid, name, display = 0, "", ""
+    stats: Dict[int, float] = {}
     for field, _, val in _fields(buf):
         if field == 1:
             mid = val
@@ -157,7 +191,21 @@ def _parse_event_metadata(buf: bytes) -> Tuple[int, str, str]:
             name = val.decode("utf-8", "replace")
         elif field == 4:
             display = val.decode("utf-8", "replace")
-    return mid, name, display
+        elif field == 5:  # repeated XStat (per-op-kind, e.g. flops)
+            smid, v = _parse_stat(val)
+            if v is not None:
+                stats[smid] = v
+    return mid, name, display, stats
+
+
+def _parse_stat_metadata(buf: bytes) -> Tuple[int, str]:
+    mid, name = 0, ""
+    for field, _, val in _fields(buf):
+        if field == 1:
+            mid = val
+        elif field == 2:
+            name = val.decode("utf-8", "replace")
+    return mid, name
 
 
 def _parse_plane(buf: bytes) -> XPlane:
@@ -165,6 +213,8 @@ def _parse_plane(buf: bytes) -> XPlane:
     lines: List[XLine] = []
     event_names: Dict[int, str] = {}
     event_display: Dict[int, str] = {}
+    stat_names: Dict[int, str] = {}
+    event_meta_stats: Dict[int, Dict[int, float]] = {}
     for field, _, val in _fields(buf):
         if field == 2:
             name = val.decode("utf-8", "replace")
@@ -179,12 +229,26 @@ def _parse_plane(buf: bytes) -> XPlane:
                 elif f2 == 2:
                     meta = v2
             if meta is not None:
-                mid, ename, edisp = _parse_event_metadata(meta)
+                mid, ename, edisp, estats = _parse_event_metadata(meta)
                 k = key if key is not None else mid
                 event_names[k] = ename
                 if edisp:
                     event_display[k] = edisp
-    return XPlane(name, lines, event_names, event_display)
+                if estats:
+                    event_meta_stats[k] = estats
+        elif field == 5:
+            # map<int64, XStatMetadata>
+            key, meta = None, None
+            for f2, _, v2 in _fields(val):
+                if f2 == 1:
+                    key = v2
+                elif f2 == 2:
+                    meta = v2
+            if meta is not None:
+                smid, sname = _parse_stat_metadata(meta)
+                stat_names[key if key is not None else smid] = sname
+    return XPlane(name, lines, event_names, event_display, stat_names,
+                  event_meta_stats)
 
 
 def parse_xspace(path: str) -> List[XPlane]:
@@ -217,6 +281,13 @@ class OpStats:
     avg_us: float
     pct: float           # share of summed device op time
     line: str            # which device line it came from
+    flops: float = 0.0   # summed over occurrences (0 if trace lacks stats)
+    bytes_accessed: float = 0.0
+
+    @property
+    def arithmetic_intensity(self) -> float:
+        return self.flops / self.bytes_accessed if self.bytes_accessed \
+            else float("inf") if self.flops else 0.0
 
 
 @dataclasses.dataclass
@@ -296,6 +367,19 @@ def op_table_from_xspace(planes: List[XPlane],
         if device_substr and device_substr not in plane.name:
             continue
         device_names.append(plane.name)
+        # stat-metadata ids for the cost stats XLA attaches to op events
+        flop_ids = {i for i, n in plane.stat_names.items()
+                    if n in ("flops", "model_flops")}
+        byte_ids = {i for i, n in plane.stat_names.items()
+                    if n in ("bytes accessed", "bytes_accessed")}
+
+        def cost_of(ev):
+            stats = dict(plane.event_meta_stats.get(ev.metadata_id, {}))
+            stats.update(ev.stats)  # event-level overrides op-kind-level
+            fl = sum(v for i, v in stats.items() if i in flop_ids)
+            by = sum(v for i, v in stats.items() if i in byte_ids)
+            return fl, by
+
         for line in _op_lines(plane, device=not host_fallback):
             for ev in line.events:
                 name = (plane.event_display.get(ev.metadata_id)
@@ -304,13 +388,18 @@ def op_table_from_xspace(planes: List[XPlane],
                 if name.startswith(_INFRA_PREFIXES):
                     continue
                 key = (line.name, name)
-                cell = agg.setdefault(key, [0, 0.0])
-                cell[0] += max(1, ev.num_occurrences)
+                cell = agg.setdefault(key, [0, 0.0, 0.0, 0.0])
+                occ = max(1, ev.num_occurrences)
+                cell[0] += occ
                 cell[1] += ev.duration_ps / 1e6  # ps -> us
+                fl, by = cost_of(ev)
+                cell[2] += fl * occ
+                cell[3] += by * occ
     total = sum(v[1] for v in agg.values()) or 1.0
     ops = [OpStats(name=name, count=int(c), total_us=t,
-                   avg_us=t / max(1, c), pct=100.0 * t / total, line=ln)
-           for (ln, name), (c, t) in agg.items()]
+                   avg_us=t / max(1, c), pct=100.0 * t / total, line=ln,
+                   flops=fl, bytes_accessed=by)
+           for (ln, name), (c, t, fl, by) in agg.items()]
     ops.sort(key=lambda o: -o.total_us)
     return OpTable(device=",".join(device_names) or "none",
                    total_us=total, ops=ops)
