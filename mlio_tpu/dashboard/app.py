@@ -85,6 +85,133 @@ class Dashboard:
                     s["speedup_vs_first"] = base["best_mean_ms"] / s["best_mean_ms"]
         return summary
 
+    def charts(self, name: str) -> List[Dict[str, Any]]:
+        """Build every applicable chart spec for one result set (rendered
+        client-side by static/dashboard.js — parity with the reference's
+        interactive single-page app, dashboard.js:1-1995)."""
+        from mlio_tpu.dashboard import visualizations as viz
+        from mlio_tpu.profiling.bottleneck import BottleneckAnalyzer
+
+        res = self._registry.get(name) or {}
+        entries = res.get("results", [])
+        charts: List[Dict[str, Any]] = []
+
+        times = [e["mean_ms"] for e in entries if e.get("mean_ms")]
+        if times:
+            charts.append(viz.create_timeline_visualization(
+                times, title="Latency across runs"))
+
+        byv: Dict[str, List[Dict]] = {}
+        for e in entries:
+            byv.setdefault(e.get("variant", e.get("runner", "run")),
+                           []).append(e)
+
+        tps = {v: max(e.get("tokens_per_sec", 0.0) for e in es)
+               for v, es in byv.items()
+               if any(e.get("tokens_per_sec") for e in es)}
+        if tps:
+            charts.append(viz.create_op_breakdown(
+                tps, title="Peak throughput by variant (tok/s)"))
+
+        if len(byv) > 1 and times:
+            named = {v: [e["mean_ms"] for e in es if e.get("mean_ms")]
+                     for v, es in byv.items()}
+            named = {v: ts for v, ts in named.items() if ts}
+            if named:
+                charts.append(viz.create_comparative_timeline(
+                    {v: [t / 1e3 for t in ts] for v, ts in named.items()}))
+
+        sp = {f"{e.get('variant', '?')} b{e.get('batch', '?')}"
+              f"s{e.get('seq_len', '?')}": e["speedup"]
+              for e in entries if e.get("speedup")}
+        if sp:
+            charts.append(viz.create_speedup_comparison(sp))
+
+        mem = {v: max(e.get("peak_bytes", e.get("memory_bytes", 0.0))
+                      for e in es) for v, es in byv.items()
+               if any(e.get("peak_bytes") or e.get("memory_bytes")
+                      for e in es)}
+        if mem:
+            charts.append(viz.create_memory_comparison(mem))
+
+        eff = {v: max(e.get("roofline_fraction", 0.0) for e in es)
+               for v, es in byv.items()
+               if any(e.get("roofline_fraction") for e in es)}
+        if eff:
+            charts.append(viz.create_kernel_efficiency_chart(eff))
+
+        devs = sorted({(e.get("devices"), e.get("tokens_per_sec"))
+                       for e in entries
+                       if e.get("devices") and e.get("tokens_per_sec")})
+        if len(devs) > 1:
+            charts.append(viz.create_parallel_scaling_chart(
+                [d for d, _ in devs], [t for _, t in devs]))
+
+        # parameter sensitivity: throughput vs batch (and vs seq) when the
+        # result sweeps them
+        for param in ("batch", "seq_len"):
+            pts = sorted({(e.get(param), e.get("tokens_per_sec"))
+                          for e in entries
+                          if e.get(param) and e.get("tokens_per_sec")})
+            if len(pts) > 1:
+                charts.append(viz.create_parameter_sensitivity(
+                    param, [p for p, _ in pts], [t for _, t in pts],
+                    title=f"Throughput vs {param}"))
+
+        table = res.get("op_table", {})
+        if table.get("ops"):
+            charts.append(viz.create_op_explorer(
+                table["ops"], title="Op explorer (device time)"))
+            charts.append(viz.create_op_breakdown(
+                {o["name"]: o["total_us"] for o in table["ops"][:12]},
+                title="Device time by op (us)"))
+
+        if res.get("memory_trace"):
+            charts.append(viz.create_memory_visualization(
+                res["memory_trace"]))
+
+        if res.get("impact"):
+            charts.append(viz.create_optimization_impact(res["impact"]))
+
+        flops = max((e.get("flops", 0.0) for e in entries), default=0.0)
+        byts = max((e.get("bytes_accessed", 0.0) for e in entries),
+                   default=0.0)
+        if times and (flops or byts):
+            rep = BottleneckAnalyzer().analyze(
+                wall_time_s=min(times) / 1e3, flops=flops,
+                bytes_accessed=byts)
+            charts.append(viz.create_bottleneck_visualization(
+                json.loads(rep.to_json())))
+        return charts
+
+    def compare_charts(self, names: List[str]) -> List[Dict[str, Any]]:
+        """Cross-result comparison charts (parity: the reference UI's
+        comparative views)."""
+        from mlio_tpu.dashboard import visualizations as viz
+
+        summary = self.compare(names)
+        charts: List[Dict[str, Any]] = []
+        sp = {n: s["speedup_vs_first"] for n, s in summary.items()
+              if s.get("speedup_vs_first")}
+        if sp:
+            charts.append(viz.create_speedup_comparison(
+                sp, title="Speedup vs first result set"))
+        named = {}
+        for n in names:
+            res = self._registry.get(n) or {}
+            ts = [e["mean_ms"] / 1e3 for e in res.get("results", [])
+                  if e.get("mean_ms")]
+            if ts:
+                named[n] = ts
+        if named:
+            charts.append(viz.create_comparative_timeline(named))
+        tps = {n: s["best_tokens_per_sec"] for n, s in summary.items()
+               if s.get("best_tokens_per_sec")}
+        if tps:
+            charts.append(viz.create_op_breakdown(
+                tps, title="Best throughput by result set (tok/s)"))
+        return charts
+
     def recommendations(self, name: str) -> List[Dict[str, Any]]:
         from mlio_tpu.dashboard.recommendation import (
             generate_optimization_recommendations,
@@ -145,6 +272,12 @@ class Dashboard:
                     return self._send(dashboard.compare([i for i in ids if i]))
                 if parts[:2] == ["api", "recommendations"] and len(parts) == 3:
                     return self._send(dashboard.recommendations(parts[2]))
+                if parts[:2] == ["api", "charts"] and len(parts) == 3:
+                    return self._send(dashboard.charts(parts[2]))
+                if parts[:2] == ["api", "compare-charts"]:
+                    ids = parse_qs(url.query).get("ids", [""])[0].split(",")
+                    return self._send(
+                        dashboard.compare_charts([i for i in ids if i]))
                 return self._send({"error": "not found"}, 404)
 
             def do_POST(self):

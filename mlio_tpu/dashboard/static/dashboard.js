@@ -1,5 +1,10 @@
-/* Dashboard chart glue (parity: reference dashboard/static/js/dashboard.js,
-   rebuilt as dependency-free inline-SVG renderers). */
+/* Dashboard client (parity: reference dashboard/static/js/dashboard.js,
+   rebuilt as dependency-free inline-SVG renderers).
+
+   Renders EVERY chart-spec kind the server-side builders emit
+   (mlio_tpu/dashboard/visualizations.py): line, bar, grouped_bar, table —
+   with axis labels/ticks, hover tooltips, a sortable op-explorer table,
+   and cross-result comparison views. */
 "use strict";
 
 const api = (p) => fetch(p).then((r) => r.json());
@@ -10,97 +15,251 @@ function svgEl(tag, attrs) {
   return el;
 }
 
-function barChart(container, labels, values, opts = {}) {
-  container.innerHTML = "";
+function tooltip() {
+  let tip = document.getElementById("tooltip");
+  if (!tip) {
+    tip = document.createElement("div");
+    tip.id = "tooltip";
+    document.body.appendChild(tip);
+  }
+  return tip;
+}
+
+function showTip(evt, html) {
+  const tip = tooltip();
+  tip.innerHTML = html;
+  tip.style.display = "block";
+  tip.style.left = `${evt.pageX + 12}px`;
+  tip.style.top = `${evt.pageY - 10}px`;
+}
+
+function hideTip() {
+  const tip = tooltip();
+  tip.style.display = "none";
+}
+
+const fmt = (v) =>
+  typeof v !== "number" ? String(v)
+    : Math.abs(v) >= 1000 ? v.toLocaleString("en-US", { maximumFractionDigits: 0 })
+    : Math.abs(v) >= 1 ? v.toFixed(2)
+    : v.toPrecision(3);
+
+function axes(svg, W, H, pad, xLabel, yLabel, minV, maxV) {
+  svg.appendChild(svgEl("line", { x1: pad, y1: H - pad, x2: W - pad, y2: H - pad, class: "axis" }));
+  svg.appendChild(svgEl("line", { x1: pad, y1: pad, x2: pad, y2: H - pad, class: "axis" }));
+  for (let i = 0; i <= 4; i++) {
+    const v = minV + ((maxV - minV) * i) / 4;
+    const y = H - pad - ((H - 2 * pad) * i) / 4;
+    const t = svgEl("text", { x: pad - 4, y: y + 3, "text-anchor": "end", class: "tick" });
+    t.textContent = fmt(v);
+    svg.appendChild(t);
+    svg.appendChild(svgEl("line", { x1: pad, y1: y, x2: W - pad, y2: y, class: "grid" }));
+  }
+  if (xLabel) {
+    const t = svgEl("text", { x: W / 2, y: H - 4, "text-anchor": "middle", class: "tick" });
+    t.textContent = xLabel;
+    svg.appendChild(t);
+  }
+  if (yLabel) {
+    const t = svgEl("text", {
+      x: 10, y: H / 2, class: "tick", transform: `rotate(-90 10 ${H / 2})`,
+      "text-anchor": "middle",
+    });
+    t.textContent = yLabel;
+    svg.appendChild(t);
+  }
+}
+
+function barChart(container, spec) {
+  const labels = spec.labels || [], values = spec.values || [];
   if (!labels.length) { container.textContent = "no data"; return; }
-  const W = 560, H = 240, pad = 40;
+  const W = 560, H = 260, pad = 46;
   const svg = svgEl("svg", { width: W, height: H });
-  const maxV = Math.max(...values, opts.yMax || 0) || 1;
+  const maxV = Math.max(...values, spec.y_max || 0, spec.baseline || 0) || 1;
+  axes(svg, W, H, pad, "", spec.y_label || "", 0, maxV);
   const bw = (W - 2 * pad) / labels.length;
   values.forEach((v, i) => {
     const h = (H - 2 * pad) * (v / maxV);
-    svg.appendChild(svgEl("rect", {
-      x: pad + i * bw + 4, y: H - pad - h, width: bw - 8, height: h,
-      class: "bar",
-    }));
+    const rect = svgEl("rect", {
+      x: pad + i * bw + 3, y: H - pad - h, width: Math.max(1, bw - 6),
+      height: Math.max(0, h), class: "bar",
+    });
+    const note = (spec.annotations || [])[i];
+    rect.onmousemove = (e) =>
+      showTip(e, `<b>${labels[i]}</b>: ${fmt(v)}${note ? `<br>${note}` : ""}`);
+    rect.onmouseleave = hideTip;
+    svg.appendChild(rect);
     const t = svgEl("text", {
-      x: pad + i * bw + bw / 2, y: H - pad + 14, "text-anchor": "middle",
-      class: "tick",
+      x: pad + i * bw + bw / 2, y: H - pad + 12, "text-anchor": "middle", class: "tick",
     });
-    t.textContent = labels[i].slice(0, 14);
+    t.textContent = String(labels[i]).slice(0, Math.max(4, Math.floor(bw / 6)));
     svg.appendChild(t);
-    const vt = svgEl("text", {
-      x: pad + i * bw + bw / 2, y: H - pad - h - 4, "text-anchor": "middle",
-      class: "val",
-    });
-    vt.textContent = typeof v === "number" ? v.toFixed(2) : v;
-    svg.appendChild(vt);
   });
-  svg.appendChild(svgEl("line", {
-    x1: pad, y1: H - pad, x2: W - pad, y2: H - pad, class: "axis",
-  }));
+  if (spec.baseline) {
+    const y = H - pad - (H - 2 * pad) * (spec.baseline / maxV);
+    svg.appendChild(svgEl("line", { x1: pad, y1: y, x2: W - pad, y2: y, class: "baseline" }));
+  }
   container.appendChild(svg);
 }
 
-function lineChart(container, xs, series, opts = {}) {
-  container.innerHTML = "";
-  if (!xs.length) { container.textContent = "no data"; return; }
-  const W = 560, H = 240, pad = 40;
+function lineChart(container, spec) {
+  const xs = spec.x || [], series = spec.series || [];
+  if (!xs.length || !series.length) { container.textContent = "no data"; return; }
+  const W = 560, H = 260, pad = 46;
   const svg = svgEl("svg", { width: W, height: H });
   const all = series.flatMap((s) => s.y);
   const maxV = Math.max(...all) || 1;
   const minV = Math.min(...all, 0);
+  axes(svg, W, H, pad, spec.x_label || "", spec.y_label || "", minV, maxV);
   const sx = (i) => pad + (W - 2 * pad) * (i / Math.max(1, xs.length - 1));
   const sy = (v) => H - pad - (H - 2 * pad) * ((v - minV) / (maxV - minV || 1));
   series.forEach((s, si) => {
     const d = s.y.map((v, i) => `${i ? "L" : "M"}${sx(i)},${sy(v)}`).join(" ");
     svg.appendChild(svgEl("path", {
-      d, fill: "none", class: `line line-${si}`,
+      d, fill: "none", class: `line line-${si % 6}`,
       "stroke-dasharray": s.dash ? "6 4" : "none",
     }));
-    const lbl = svgEl("text", { x: W - pad, y: 16 + 14 * si,
-      "text-anchor": "end", class: `legend line-${si}` });
+    s.y.forEach((v, i) => {
+      const c = svgEl("circle", { cx: sx(i), cy: sy(v), r: 3, class: `dot line-${si % 6}` });
+      c.onmousemove = (e) => showTip(e, `<b>${s.name}</b><br>${spec.x_label || "x"}=${xs[i]}, y=${fmt(v)}`);
+      c.onmouseleave = hideTip;
+      svg.appendChild(c);
+    });
+    const lbl = svgEl("text", {
+      x: W - pad, y: 16 + 13 * si, "text-anchor": "end", class: `legend line-${si % 6}`,
+    });
     lbl.textContent = s.name;
     svg.appendChild(lbl);
   });
-  svg.appendChild(svgEl("line", {
-    x1: pad, y1: H - pad, x2: W - pad, y2: H - pad, class: "axis",
-  }));
   container.appendChild(svg);
 }
 
-function groupBy(rows, key) {
-  const m = new Map();
-  rows.forEach((r) => {
-    const k = r[key] ?? "?";
-    if (!m.has(k)) m.set(k, []);
-    m.get(k).push(r);
+function groupedBarChart(container, spec) {
+  const groups = spec.groups || [], metrics = spec.metrics || [], values = spec.values || [];
+  if (!groups.length) { container.textContent = "no data"; return; }
+  const W = 560, H = 260, pad = 46;
+  const svg = svgEl("svg", { width: W, height: H });
+  const flat = values.flat();
+  const maxV = Math.max(...flat, 0) || 1;
+  axes(svg, W, H, pad, "", spec.y_label || "", 0, maxV);
+  const gw = (W - 2 * pad) / groups.length;
+  const bw = (gw - 8) / Math.max(1, metrics.length);
+  groups.forEach((g, gi) => {
+    metrics.forEach((m, mi) => {
+      const v = values[gi][mi];
+      const h = (H - 2 * pad) * (v / maxV);
+      const rect = svgEl("rect", {
+        x: pad + gi * gw + 4 + mi * bw, y: H - pad - h,
+        width: Math.max(1, bw - 2), height: Math.max(0, h),
+        class: `bar bar-${mi % 6}`,
+      });
+      rect.onmousemove = (e) => showTip(e, `<b>${g}</b><br>${m}: ${fmt(v)}`);
+      rect.onmouseleave = hideTip;
+      svg.appendChild(rect);
+    });
+    const t = svgEl("text", {
+      x: pad + gi * gw + gw / 2, y: H - pad + 12, "text-anchor": "middle", class: "tick",
+    });
+    t.textContent = String(g).slice(0, Math.max(4, Math.floor(gw / 6)));
+    svg.appendChild(t);
   });
-  return m;
+  metrics.forEach((m, mi) => {
+    const lbl = svgEl("text", {
+      x: W - pad, y: 16 + 13 * mi, "text-anchor": "end", class: `legend bar-${mi % 6}`,
+    });
+    lbl.textContent = m;
+    svg.appendChild(lbl);
+  });
+  container.appendChild(svg);
+}
+
+function tableChart(container, spec) {
+  const cols = spec.columns || [], rows = spec.rows || [];
+  if (!rows.length) { container.textContent = "no data"; return; }
+  const tbl = document.createElement("table");
+  tbl.className = "op-table";
+  const thead = document.createElement("thead");
+  const hr = document.createElement("tr");
+  let sortCol = null, sortDir = -1;
+  const tbody = document.createElement("tbody");
+
+  function renderBody(data) {
+    tbody.innerHTML = "";
+    data.slice(0, 200).forEach((r) => {
+      const tr = document.createElement("tr");
+      r.forEach((c) => {
+        const td = document.createElement("td");
+        td.textContent = c == null ? "" : fmt(c);
+        tr.appendChild(td);
+      });
+      tbody.appendChild(tr);
+    });
+  }
+
+  cols.forEach((c, ci) => {
+    const th = document.createElement("th");
+    th.textContent = c;
+    th.onclick = () => {   // sortable op explorer
+      sortDir = sortCol === ci ? -sortDir : -1;
+      sortCol = ci;
+      const sorted = [...rows].sort((a, b) => {
+        const x = a[ci], y = b[ci];
+        if (typeof x === "number" && typeof y === "number") return (x - y) * sortDir;
+        return String(x).localeCompare(String(y)) * sortDir;
+      });
+      renderBody(sorted);
+      [...hr.children].forEach((h, i) =>
+        h.classList.toggle("sorted", i === ci));
+    };
+    hr.appendChild(th);
+  });
+  thead.appendChild(hr);
+  tbl.appendChild(thead);
+  renderBody(rows);
+  tbl.appendChild(tbody);
+
+  const filter = document.createElement("input");
+  filter.placeholder = "filter ops…";
+  filter.className = "op-filter";
+  filter.oninput = () => {
+    const q = filter.value.toLowerCase();
+    renderBody(rows.filter((r) => r.some((c) => String(c).toLowerCase().includes(q))));
+  };
+  container.appendChild(filter);
+  container.appendChild(tbl);
+}
+
+const RENDERERS = {
+  line: lineChart,
+  bar: barChart,
+  grouped_bar: groupedBarChart,
+  table: tableChart,
+};
+
+function renderChart(parent, spec) {
+  const card = document.createElement("section");
+  card.className = "card";
+  const h = document.createElement("h2");
+  h.textContent = spec.title || spec.type;
+  card.appendChild(h);
+  const body = document.createElement("div");
+  card.appendChild(body);
+  const fn = RENDERERS[spec.type];
+  if (fn) fn(body, spec);
+  else body.textContent = `unknown chart type: ${spec.type}`;
+  parent.appendChild(card);
 }
 
 async function loadModel(name) {
   const data = await api(`/api/profile/${name}`);
   const rows = data.results || [];
+  document.getElementById("summary-body").innerHTML =
+    `<b>${name}</b>: ${rows.length} entries`;
 
-  const summary = document.getElementById("summary-body");
-  summary.innerHTML = `<b>${name}</b>: ${rows.length} entries`;
-
-  const byVariant = groupBy(rows.filter((r) => r.mean_ms), "variant");
-  barChart(document.getElementById("chart-latency"),
-    [...byVariant.keys()],
-    [...byVariant.values()].map((v) =>
-      v.reduce((a, r) => a + r.mean_ms, 0) / v.length));
-
-  const tps = rows.filter((r) => r.tokens_per_sec);
-  barChart(document.getElementById("chart-throughput"),
-    tps.map((r) => r.variant || r.runner || "run"),
-    tps.map((r) => r.tokens_per_sec));
-
-  const sp = rows.filter((r) => r.speedup);
-  barChart(document.getElementById("chart-speedup"),
-    sp.map((r) => `${r.variant} b${r.batch}s${r.seq_len}`),
-    sp.map((r) => r.speedup), { yMax: 1 });
+  const charts = await api(`/api/charts/${name}`);
+  const main = document.getElementById("charts");
+  main.innerHTML = "";
+  charts.forEach((spec) => renderChart(main, spec));
 
   const recs = await api(`/api/recommendations/${name}`);
   const ul = document.getElementById("recs");
@@ -111,6 +270,14 @@ async function loadModel(name) {
       <code>${r.action}</code>`;
     ul.appendChild(li);
   });
+}
+
+async function loadCompare(ids) {
+  const box = document.getElementById("compare-body");
+  box.innerHTML = "";
+  if (ids.length < 2) { box.textContent = "select 2+ result sets"; return; }
+  const charts = await api(`/api/compare-charts?ids=${ids.join(",")}`);
+  charts.forEach((spec) => renderChart(box, spec));
 }
 
 async function init() {
@@ -124,10 +291,24 @@ async function init() {
   });
   sel.onchange = () => loadModel(sel.value);
   if (models.length) loadModel(models[0]);
+
+  // comparison view: checkbox per result set
+  const cmpSel = document.getElementById("compare-select");
+  cmpSel.innerHTML = "";
+  models.forEach((m) => {
+    const label = document.createElement("label");
+    const cb = document.createElement("input");
+    cb.type = "checkbox";
+    cb.value = m;
+    cb.onchange = () =>
+      loadCompare([...cmpSel.querySelectorAll("input:checked")].map((c) => c.value));
+    label.appendChild(cb);
+    label.appendChild(document.createTextNode(m));
+    cmpSel.appendChild(label);
+  });
   if (models.length > 1) {
-    const cmp = await api(`/api/compare?ids=${models.join(",")}`);
-    document.getElementById("compare-body").innerHTML =
-      `<pre>${JSON.stringify(cmp, null, 2)}</pre>`;
+    [...cmpSel.querySelectorAll("input")].slice(0, 2).forEach((c) => (c.checked = true));
+    loadCompare(models.slice(0, 2));
   }
 }
 
