@@ -465,10 +465,14 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
             if not scales_t:
                 ks = pad_scales_for_tiled(ks, Hkv, tiling.ka)
                 vs = pad_scales_for_tiled(vs, Hkv, tiling.ka)
+        from mlio_tpu.ops.autotune import lookup_key, tiled_decode_key
+        tuned = lookup_key(tiled_decode_key(
+            spec.hidden_size, spec.kv_dim, B, Smax, quant)) or {}
         out = decode_layer_tiled(
             x[:, 0], params["blocks"], ck, cv, cache_pos,
             cs[0], cs[1], spec=spec, k_scales=ks, v_scales=vs,
-            tiling=tiling, interpret=interp)
+            tiling=tiling, cache_block=tuned.get("cache_block"),
+            interpret=interp)
         h, ck, cv = out[:3]
         if not flat_in:
             ck = ck.reshape(L, B, Smax, Hkv, D)

@@ -223,6 +223,14 @@ def mega_decode_key(h: int, kvd: int, batch: int, cache_len: int,
             f"{'int8' if quant else 'bf16'}")
 
 
+def tiled_decode_key(h: int, kvd: int, batch: int, cache_len: int,
+                     quant: bool) -> str:
+    """Shape class for the big-model tiled decode megakernel
+    (ops/decode_tiled.py); tunable: cache_block (KV scan tokens/DMA)."""
+    return (f"tiled_decode/h{h}/kv{kvd}/b{batch}/s{_bucket(cache_len)}/"
+            f"{'int8' if quant else 'bf16'}")
+
+
 def lookup_key(key: str) -> Optional[Dict]:
     return _load_tables().get(key)
 
@@ -329,4 +337,101 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
         key = mega_decode_key(spec.hidden_size, spec.kv_dim, batch,
                               cache_len, False)
         _save(key, best, save_path)
+    return best
+
+
+TILED_CANDIDATES = ({"cache_block": 64}, {"cache_block": 128},
+                    {"cache_block": 256}, {"cache_block": 512})
+
+
+def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
+                      prompt: int = 704, cache_len: int = 1024,
+                      lo: int = 16, hi: int = 64, candidates=None,
+                      save: bool = True, save_path: Optional[str] = None,
+                      verbose: bool = False) -> Dict:
+    """Time tiled-decode cache_block candidates (7B-class INT8 weights +
+    INT8 KV, the llama7b-int8 bench config) with the marginal methodology
+    and record the winner under the tiled_decode shape class."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    from mlio_tpu.models import Impl, get_spec
+    from mlio_tpu.models.transformer import forward, rope_cos_sin
+    from mlio_tpu.ops.decode_tiled import (
+        choose_tiling,
+        decode_layer_tiled,
+        pad_scales_for_tiled,
+    )
+    from mlio_tpu.runtime.kv_cache import init_cache
+    from mlio_tpu.runtime.quantization import init_quantized_params
+
+    spec = get_spec(preset)
+    params = init_quantized_params(spec, jax.random.PRNGKey(0))
+    impl = Impl(attention="flash", norm="fused")
+    ids = jnp.zeros((batch, prompt), jnp.int32)
+    tiling = choose_tiling(spec, batch, 1, 1, weight_fmt="int8")
+
+    @functools.partial(jax.jit, static_argnames=("n", "cb"))
+    def run(params, ids, n, cb):
+        cache = init_cache(spec, batch, cache_len, dtype=jnp.bfloat16,
+                           quant="int8")
+        logits, cache = forward(params, spec, ids, impl=impl, cache=cache)
+        tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+        ck = cache["k"].reshape(*cache["k"].shape[:3], -1)
+        cv = cache["v"].reshape(*cache["v"].shape[:3], -1)
+        ks = pad_scales_for_tiled(cache["k_scale"], spec.num_kv_heads,
+                                  tiling.ka)
+        vs = pad_scales_for_tiled(cache["v_scale"], spec.num_kv_heads,
+                                  tiling.ka)
+
+        def step(carry, _):
+            ck, cv, ks, vs, pos, tok = carry
+            x = params["tok_embed"][tok]
+            cs, sn = rope_cos_sin(jnp.reshape(pos, (1,)), spec.rope_dim,
+                                  spec.rope_theta, jnp.float32)
+            out = decode_layer_tiled(
+                x, params["blocks"], ck, cv, pos, cs, sn,
+                spec=spec, k_scales=ks, v_scales=vs, tiling=tiling,
+                cache_block=cb)
+            h = out[0]
+            from mlio_tpu import ops as _ops
+            hn = _ops.norm(h[:, None], params["final_scale"],
+                           params["final_bias"], kind=spec.norm,
+                           eps=spec.norm_eps)
+            lg = _ops.linear(hn, params["lm_head"])
+            tok = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
+            return (out[1], out[2], out[3], out[4], pos + 1, tok), ()
+
+        (ck, cv, ks, vs, pos, tok), _ = jax.lax.scan(
+            step, (ck, cv, ks, vs, cache["pos"], tok), None, length=n)
+        return tok
+
+    best = None
+    for cand in candidates or TILED_CANDIDATES:
+        cb = cand["cache_block"]
+
+        def f(n):
+            return int(run(params, ids, n, cb)[0])
+        try:
+            f(lo), f(hi)
+        except Exception as e:
+            if verbose:
+                print(f"  cb={cb}: failed {type(e).__name__}: {e}")
+            continue
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter(); f(lo); tl = time.perf_counter() - t0
+            t0 = time.perf_counter(); f(hi); th = time.perf_counter() - t0
+            dt = min(dt, (th - tl) / (hi - lo))
+        if verbose:
+            print(f"  cb={cb:4d}: {dt * 1e3:8.3f} ms/step", flush=True)
+        if best is None or dt < best["_dt"]:
+            best = {"cache_block": cb, "_dt": dt, "ms": round(dt * 1e3, 4)}
+    if best is None:
+        raise RuntimeError("no tiled decode candidate ran")
+    best.pop("_dt")
+    if save:
+        _save(tiled_decode_key(spec.hidden_size, spec.kv_dim, batch,
+                               cache_len, True), best, save_path)
     return best

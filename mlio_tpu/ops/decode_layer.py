@@ -255,6 +255,44 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
                        grouped, cdtype, kv_quant, Hkv, L, combined=False,
                        cache_out=None, slab_scr=None):
     KVd = Hkv * D
+    ctx = pos
+    nb = (ctx + bs - 1) // bs
+
+    # Double-buffered cache streaming (bf16 cache): block j+2's K/V DMA is
+    # issued as block j computes, so the KV read (the dominant per-layer
+    # HBM traffic) is never serialized with the score/PV dots. The first
+    # two block DMAs start HERE — before the norm/QKV projections — so
+    # their transfer+latency hides under ~20us of projection compute
+    # instead of stalling the scan prologue. With an INT8 cache the block
+    # DMAs are half the bytes and the single-buffer path measures faster,
+    # so kv_quant keeps one buffer issued in-loop.
+    dbuf = not kv_quant
+
+    def kv_copies(j, slot):
+        if combined:  # k|v share lanes of one buffer: ONE DMA per block
+            return (pltpu.make_async_copy(
+                r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb.at[slot],
+                sems.at[slot]),)
+        kr = pltpu.make_async_copy(
+            r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb.at[slot],
+            sems.at[slot])
+        vr = pltpu.make_async_copy(
+            r["v_cache"].at[layer, :, pl.ds(j * bs, bs)], vb.at[slot],
+            sems.at[2 + slot])
+        return kr, vr
+
+    if dbuf:
+        @pl.when(nb > 0)
+        def _():
+            for c in kv_copies(0, 0):
+                c.start()
+
+        if r["k_cache"].shape[2] >= 2 * bs:  # block 1 exists statically
+            @pl.when(nb > 1)
+            def _():
+                for c in kv_copies(1, 1):
+                    c.start()
+
     x32 = x_res[...]
     h16 = _norm(x32, r["ln1_scale"], r["ln1_bias"], norm, eps).astype(cdtype)
 
@@ -330,8 +368,6 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
             preferred_element_type=jnp.float32))(qmask)
     qmask = qmask.astype(bf)                                  # [B, *, Hq]
 
-    ctx = pos
-    nb = (ctx + bs - 1) // bs
     m0 = jnp.full((B, 1, Hq), NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, 1, Hq), jnp.float32)
     a0 = jnp.zeros((B, Hq * D), jnp.float32)
@@ -384,52 +420,19 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
         ksd.wait()
         vsd.wait()
 
-    # Double-buffered cache streaming (bf16 cache): block j+1's K/V DMA is
-    # in flight while block j computes, so the KV read (the dominant
-    # per-layer HBM traffic) is never serialized with the score/PV dots
-    # (+45% measured on the GPT-2 bf16 decode bench). With an INT8 cache the
-    # block DMAs are half the bytes and the single-buffer path measures
-    # faster (the per-iteration slot bookkeeping outweighs the tiny DMA),
-    # so kv_quant keeps one buffer.
-    dbuf = not kv_quant
-
-    def kv_copies(j, slot):
-        if combined:  # k|v share lanes of one buffer: ONE DMA per block
-            return (pltpu.make_async_copy(
-                r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb.at[slot],
-                sems.at[slot]),)
-        kr = pltpu.make_async_copy(
-            r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb.at[slot],
-            sems.at[slot])
-        vr = pltpu.make_async_copy(
-            r["v_cache"].at[layer, :, pl.ds(j * bs, bs)], vb.at[slot],
-            sems.at[2 + slot])
-        return kr, vr
-
-    if dbuf:
-        @pl.when(nb > 0)
-        def _():
-            for c in kv_copies(0, 0):
-                c.start()
-
     def block(j, carry):
         m, l, acc = carry
         if dbuf:
             slot = lax.rem(j, 2)
-
-            @pl.when(j + 1 < nb)
-            def _():
-                for c in kv_copies(j + 1, 1 - slot):
-                    c.start()
-
-            cps = kv_copies(j, slot)
+            for c in kv_copies(j, slot):
+                c.wait()
         else:
             slot = 0
             cps = kv_copies(j, 0)
             for c in cps:
                 c.start()
-        for c in cps:
-            c.wait()
+            for c in cps:
+                c.wait()
         if combined:
             buf = kb[slot]
             kbv = buf[:, :, :KVd]
@@ -447,7 +450,15 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
             p_fold = to_qheads_t(vsc)     # fused V dequant (into P@V)
         col = j * bs + lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < ctx, s, NEG_INF)                  # [B, bs, Hq]
-        return softmax_update(s, m, l, acc, vals, p_fold)
+        out = softmax_update(s, m, l, acc, vals, p_fold)
+        if dbuf:
+            # refill the slot just consumed — after the score/PV dots have
+            # read it (in-order vector issue makes the overwrite safe)
+            @pl.when(j + 2 < nb)
+            def _():
+                for c in kv_copies(j + 2, slot):
+                    c.start()
+        return out
 
     m, l, acc = lax.fori_loop(0, nb, block, (m0, l0, a0))
 

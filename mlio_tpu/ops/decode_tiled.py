@@ -129,11 +129,12 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
         reserve = 1.5 if fp8 else 1.0  # dequant-cast spill headroom
 
         def pool_bytes(ic):
-            # four shared buffers: up(q/up), mid(k/gate), v(v only), dn(o/dn)
-            up = max(Qg, ic)
-            mid = max(KVg, ic) if gated else KVg
+            # pool buffers: up(q), mid(k), v, dn(o/down) — w_up/w_gate ride
+            # the auto pipeline with their own double buffers (term below)
             dn = max(Qg, ic)
-            return int(2 * h * wi * (up + mid + KVg + dn) * reserve)
+            pool = 2 * h * wi * (Qg + KVg + KVg + dn)
+            pipeline = 2 * h * wi * ic * (2 if gated else 1)
+            return int((pool + pipeline) * reserve)
 
         ic = None
         cand_ic = min(_pad(I, 128), 1 << 16)
@@ -269,7 +270,7 @@ def _mmv(h16, w, b_ref, s_ref):
 
 def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                   norm, eps, activation, scale, gated, grouped,
-                  cdtype, kv_quant, hkvg):
+                  cdtype, kv_quant, hkvg, smax):
     it = iter(refs)
     r = {n: (next(it) if flags[n] else None) for n in _NAMES}
     x_out, k_new, v_new = next(it), next(it), next(it)
@@ -321,17 +322,15 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
         ]
 
     def mlp_copies(l_, kk_, slot_, width):
-        cps = [pltpu.make_async_copy(
-            r["w_up"].at[l_, :, pl.ds(kk_ * ic, width)],
-            wbu.at[slot_, :, pl.ds(0, width)], wsems.at[0, slot_])]
-        if gated:
-            cps.append(pltpu.make_async_copy(
-                r["w_gate"].at[l_, :, pl.ds(kk_ * ic, width)],
-                wbm.at[slot_, :, pl.ds(0, width)], wsems.at[1, slot_]))
-        cps.append(pltpu.make_async_copy(
+        # w_up / w_gate ride the AUTO pipeline; only w_down streams via the
+        # pool. Measured perf-neutral vs all-manual (the step stays
+        # HBM-stream-bound either way: pipeline + manual fetches appear to
+        # share the same practical ~650-750 GB/s in-kernel ceiling on v5e),
+        # but it frees pool VMEM (up/mid buffers shrink to the attention
+        # widths), giving the chunk-size search more headroom.
+        return [pltpu.make_async_copy(
             r["w_down"].at[l_, pl.ds(kk_ * ic, width), :],
-            wbd.at[slot_, pl.ds(0, width), :], wsems.at[3, slot_]))
-        return cps
+            wbd.at[slot_, pl.ds(0, width), :], wsems.at[3, slot_])]
 
     def start(cps):
         for c in cps:
@@ -378,6 +377,33 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
     @pl.when(s_idx < Ka)
     def _attn():
         g = s_idx
+        ctx = pos
+        nb = (ctx + bs - 1) // bs
+
+        def kv_copies(j, slot):
+            kr = pltpu.make_async_copy(
+                r["k_cache"].at[layer, :, pl.ds(j * bs, bs),
+                                pl.ds(g * KVg, KVg)], kb.at[slot],
+                sems.at[slot])
+            vr = pltpu.make_async_copy(
+                r["v_cache"].at[layer, :, pl.ds(j * bs, bs),
+                                pl.ds(g * KVg, KVg)], vb.at[slot],
+                sems.at[2 + slot])
+            return kr, vr
+
+        # KV block prefetch starts BEFORE the weight-chunk wait and the
+        # q/k/v projections, hiding the first transfers under compute
+        @pl.when(nb > 0)
+        def _():
+            for c in kv_copies(0, 0):
+                c.start()
+
+        if smax >= 2 * bs:  # block 1 exists statically
+            @pl.when(nb > 1)
+            def _():
+                for c in kv_copies(1, 1):
+                    c.start()
+
         wait(attn_copies(layer, g, slot))
         h16 = h_scr[...]
         q = _mmv(h16, wbu[slot, :, :Qg], r["bq"], r["sq"])    # [B, Qg] f32
@@ -421,8 +447,6 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             qmask = qmask.transpose(0, 2, 1)                  # [B, KVg, Hg]
         qmask = qmask.astype(bf)
 
-        ctx = pos
-        nb = (ctx + bs - 1) // bs
         m0 = jnp.full((B, 1, Hg), NEG_INF, jnp.float32)
         l0 = jnp.zeros((B, 1, Hg), jnp.float32)
         a0 = jnp.zeros((B, Qg), jnp.float32)
@@ -466,33 +490,9 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             ksd.wait()
             vsd.wait()
 
-        def kv_copies(j, slot):
-            kr = pltpu.make_async_copy(
-                r["k_cache"].at[layer, :, pl.ds(j * bs, bs),
-                                pl.ds(g * KVg, KVg)], kb.at[slot],
-                sems.at[slot])
-            vr = pltpu.make_async_copy(
-                r["v_cache"].at[layer, :, pl.ds(j * bs, bs),
-                                pl.ds(g * KVg, KVg)], vb.at[slot],
-                sems.at[2 + slot])
-            return kr, vr
-
-        @pl.when(nb > 0)
-        def _():
-            kr, vr = kv_copies(0, 0)
-            kr.start()
-            vr.start()
-
         def block(j, carry):
             m, l, acc = carry
             slot = lax.rem(j, 2)
-
-            @pl.when(j + 1 < nb)
-            def _():
-                kr, vr = kv_copies(j + 1, 1 - slot)
-                kr.start()
-                vr.start()
-
             kr, vr = kv_copies(j, slot)
             kr.wait()
             vr.wait()
@@ -506,7 +506,13 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             col = j * bs + lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < ctx, s, NEG_INF)
             vals = vb[slot].astype(bf) if kv_quant else vb[slot]
-            return softmax_update(s, m, l, acc, vals, p_fold)
+            out = softmax_update(s, m, l, acc, vals, p_fold)
+            # refill the slot just consumed (reads above are complete)
+            @pl.when(j + 2 < nb)
+            def _():
+                for c in kv_copies(j + 2, slot):
+                    c.start()
+            return out
 
         m, l, acc = lax.fori_loop(0, nb, block, (m0, l0, a0))
 
@@ -552,14 +558,14 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             wait(mlp_copies(layer, Km - 1, slot, ic_edge))
 
         h16 = h_scr[...]
-        u = _mmv(h16, wbu[slot, :, :ic], r["b_up"], r["s_up"])  # [B, ic]
+        u = _mmv(h16, r["w_up"][0], r["b_up"], r["s_up"])       # [B, ic]
         # mask lanes beyond the true intermediate width (last chunk reads
         # ic-wide scratch whose tail is stale — zeroed here before use)
         col = kk * ic + lax.broadcasted_iota(jnp.int32, u.shape, 1)
         valid = col < I_total
         u = jnp.where(valid, u, 0.0)
         if gated:
-            gt = _mmv(h16, wbm[slot, :, :ic], r["b_gate"], r["s_gate"])
+            gt = _mmv(h16, r["w_gate"][0], r["b_gate"], r["s_gate"])
             gt = jnp.where(valid, gt, 0.0)
         else:
             gt = None
@@ -616,6 +622,7 @@ def decode_layer_tiled(
     v_scales: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     tiling: Optional[Tiling] = None,
+    cache_block: Optional[int] = None,
     interpret: bool = False,
 ):
     """One decode step for ALL layers with weight-chunk streaming.
@@ -643,9 +650,13 @@ def decode_layer_tiled(
     Qg, KVg = Hg * D, hkvg * D
     G = Hq // Hkv
     gated = spec.activation in ("swiglu", "geglu")
-    bs = 128 if Smax % 128 == 0 else 64
+    bs = cache_block or (128 if Smax % 128 == 0 else 64)
     while Smax % bs:
         bs //= 2
+    if kv_quant and bs % 128:
+        # the in-kernel scale-cache lane slice ksb[:, :, j*bs : j*bs+bs]
+        # must be 128-lane aligned (Mosaic cannot slice mid-tile)
+        bs = 128 if Smax % 128 == 0 else bs
     wdtype = cdtype
 
     def wq_pair(name):
@@ -741,8 +752,13 @@ def decode_layer_tiled(
         "s_gate": ((1, 1, ic), mmap("col")),
         "b_up": ((1, 1, ic), mmap("col")),
         "b_gate": ((1, 1, ic), mmap("col")),
+        # the big up/gate chunks ride the auto pipeline: its fetches run on
+        # a different DMA stream than the kernel's manual copies, so the
+        # MLP weight read overlaps the pool (wq..wo, w_down) + KV streams
+        "w_up": ((1, H, ic), mmap("col")),
+        "w_gate": ((1, H, ic), mmap("col")),
     }
-    HBM_STREAMED = {"wq", "wk", "wv", "wo", "w_up", "w_gate", "w_down",
+    HBM_STREAMED = {"wq", "wk", "wv", "wo", "w_down",
                     "k_cache", "v_cache", "ks_cache", "vs_cache"}
     PER_LAYER_FULL = {"ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
                       "so", "bo", "s_down", "b_down"}
@@ -794,7 +810,8 @@ def decode_layer_tiled(
         _tiled_kernel, flags=flags, B=B, D=D, bs=bs, tiling=tiling,
         I_total=spec.intermediate_size, norm=spec.norm, eps=spec.norm_eps,
         activation=spec.activation, scale=scale, gated=gated,
-        grouped=G > 1, cdtype=cdtype, kv_quant=kv_quant, hkvg=hkvg)
+        grouped=G > 1, cdtype=cdtype, kv_quant=kv_quant, hkvg=hkvg,
+        smax=Smax)
 
     # shared weight pool: 4 double-buffered scratch buffers reused by the
     # attention and MLP phases (manual DMA; halves the VMEM footprint vs
@@ -807,8 +824,8 @@ def decode_layer_tiled(
     algn = {1: 32, 2: 16, 4: 8}.get(jnp.dtype(wdt).itemsize, 8)
     assert ic % algn == 0 and ic_edge % algn == 0, (
         "intermediate chunk not DMA-sliceable for this dtype", ic, ic_edge)
-    cup = max(Qg, ic)
-    cmid = max(KVg, ic) if gated else KVg
+    cup = Qg           # attention q only (w_up rides the pipeline)
+    cmid = KVg         # attention k only (w_gate rides the pipeline)
     cdn = max(Qg, ic)
     pos_spec = pl.BlockSpec((1, 1), lambda l, s, *_: (0, 0),
                             memory_space=pltpu.SMEM)
