@@ -1,8 +1,8 @@
 #!/bin/bash
-# Sequential TPU artifact capture (priority order; ~2h budget).
+# Sequential TPU artifact capture (priority order; round-3 budget).
 cd /root/repo
 LOG=/tmp/tpu_jobs.log
-echo "=== tpu_jobs v2 start $(date)" >> $LOG
+echo "=== tpu_jobs v3 start $(date)" >> $LOG
 
 wait_alive () {
   for i in $(seq 1 100); do
@@ -14,7 +14,7 @@ wait_alive () {
   echo "never came alive" >> $LOG; return 1
 }
 
-DEADLINE=$(date -d "2026-08-21 03:55" +%s)
+DEADLINE=$(date -d "2026-08-21 12:10" +%s)
 run_one () {
   if [ "$(date +%s)" -gt "$DEADLINE" ]; then
     echo "deadline passed; skipping $1" >> $LOG; return 0
@@ -31,9 +31,10 @@ wait_alive; run_one ppl-gate 2400
 wait_alive; run_one spec-decode 2000
 wait_alive; run_one gpt2-int8 1500
 wait_alive; run_one latency-4k 2000
+wait_alive; run_one ring-shardmap 1200
 wait_alive; run_one flash-65k 1200
 wait_alive; run_one moe-13b-int8 2000
 wait_alive; run_one llama70b-fp8 2000
 wait_alive; run_one ring-65k 1200
-echo "=== tpu_jobs v2 complete $(date)" >> $LOG
+echo "=== tpu_jobs v3 complete $(date)" >> $LOG
 touch /tmp/tpu_jobs.done
