@@ -104,3 +104,59 @@ def test_generate_greedy_fused_equals_scan_path():
                                               decode_stack="mega"))
         assert np.array_equal(np.asarray(out_scan), np.asarray(out_fused)), \
             name
+
+
+def test_combined_inplace_cache_and_pos_embed_match_split():
+    """The combined k|v cache (in-place aliased write + in-kernel learned
+    pos-embed) matches the split-cache path exactly — the shipping GPT-2
+    config (kv_dim % 128 == 0) exercised in interpret mode on CPU
+    (round 3: these were the MLIO_DECODE_EXTRAS features, now default-on)."""
+    import dataclasses
+
+    from mlio_tpu.models import get_spec, init_params
+    from mlio_tpu.models.transformer import forward
+    from mlio_tpu.ops.decode_layer import (
+        decode_layer_stack,
+        pad_lm_head_for_mega,
+    )
+    from mlio_tpu.runtime.kv_cache import init_cache
+
+    spec = dataclasses.replace(get_spec("gpt2-tiny"), name="gpt2-kv128",
+                               hidden_size=128, num_heads=2,
+                               num_kv_heads=2, intermediate_size=256)
+    assert spec.kv_dim == 128 and spec.max_seq_len % 8 == 0
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    B, CACHE, P = 2, 32, 11  # P % 8 != 0: slab straddles the prefill edge
+    cache = init_cache(spec, B, CACHE, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, P), 0,
+                             spec.vocab_size)
+    _, cache = forward(params, spec, ids, impl=Impl(), cache=cache)
+    ck = cache["k"].reshape(*cache["k"].shape[:3], -1)
+    cv = cache["v"].reshape(*cache["v"].shape[:3], -1)
+    lm_w, lm_V, lm_Vc = pad_lm_head_for_mega(params["tok_embed"], True, 128)
+    pos = cache["pos"]
+    x = params["tok_embed"][jnp.array([3, 5])]
+    x_pe = x + params["pos_embed"][pos].astype(x.dtype)
+    kw = dict(spec=spec, head_norm=(params["final_scale"],
+                                    params["final_bias"]),
+              lm_head=lm_w, lm_vmajor=True, vocab_chunk=lm_Vc,
+              vocab_size=lm_V, interpret=True)
+
+    o_split = decode_layer_stack(x_pe, params["blocks"], ck, cv, pos,
+                                 None, None, **kw)
+    ckv = jnp.concatenate([ck, cv], axis=-1)
+    o_comb = decode_layer_stack(x, params["blocks"], ckv, None, pos,
+                                None, None, kv_combined=True,
+                                pos_embed=params["pos_embed"], **kw)
+    np.testing.assert_allclose(np.asarray(o_split[0]), np.asarray(o_comb[0]),
+                               rtol=1e-5, atol=1e-5)
+    assert jnp.array_equal(o_split[-1][:, 0], o_comb[-1][:, 0])
+    # in-place write: k|v lanes of the aliased cache match the split caches
+    kc2 = o_comb[1][:, :, :, :spec.kv_dim]
+    vc2 = o_comb[1][:, :, :, spec.kv_dim:]
+    np.testing.assert_allclose(np.asarray(o_split[1][:, :, :pos + 1]),
+                               np.asarray(kc2[:, :, :pos + 1]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_split[2][:, :, :pos + 1]),
+                               np.asarray(vc2[:, :, :pos + 1]),
+                               rtol=1e-5, atol=1e-5)
