@@ -55,7 +55,7 @@ def main():
     print(f"# compile+warm took {time.time() - t_compile:.0f}s",
           file=sys.stderr)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         run(N_LO)
         t_lo = time.time() - t0

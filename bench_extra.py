@@ -31,7 +31,7 @@ def _time(fn, warm=1):
     return time.time() - t0
 
 
-def _marginal_step(run, n_lo=64, n_hi=320, reps=3):
+def _marginal_step(run, n_lo=64, n_hi=320, reps=5):
     """Best per-step seconds via the two-length marginal: prefill,
     dispatch, and host overhead cancel in T(n_hi) - T(n_lo)."""
     run(n_lo), run(n_hi)  # compile both lengths
