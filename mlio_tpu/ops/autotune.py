@@ -193,9 +193,14 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     import jax
 
-    p = argparse.ArgumentParser(description="Tune flash-attention tiles")
+    p = argparse.ArgumentParser(
+        description="Tune Pallas kernel knobs on the current device")
     p.add_argument("--shape", action="append", default=None,
                    help="B,Sq,Skv,H,Hkv,D (repeatable); default = suite")
+    p.add_argument("--decode", action="store_true",
+                   help="also tune the fused-decode megakernel knobs")
+    p.add_argument("--tiled", action="store_true",
+                   help="also tune the big-model tiled decode knobs")
     p.add_argument("--no-save", action="store_true")
     args = p.parse_args(argv)
     shapes = ([tuple(int(x) for x in s.split(",")) for s in args.shape]
@@ -207,10 +212,15 @@ def main(argv: Optional[List[str]] = None) -> None:
                           verbose=True)
         print(f"  -> best ({best['block_q']},{best['block_kv']}) "
               f"{best['tflops']} TF/s")
+    if args.decode:
+        print("mega_decode (gpt2 headline class):")
+        print("  ->", tune_decode(save=not args.no_save, verbose=True))
+    if args.tiled:
+        print("tiled_decode (llama2-7b int8 class):")
+        print("  ->", tune_decode_tiled(save=not args.no_save,
+                                        verbose=True))
 
 
-if __name__ == "__main__":
-    main()
 
 
 # ---------------------------------------------------------------------------
@@ -435,3 +445,7 @@ def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
         _save(tiled_decode_key(spec.hidden_size, spec.kv_dim, batch,
                                cache_len, True), best, save_path)
     return best
+
+
+if __name__ == "__main__":
+    main()
