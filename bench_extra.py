@@ -33,9 +33,11 @@ def _time(fn, warm=1):
 
 def _marginal_step(run, n_lo=64, n_hi=320, reps=5):
     """Best per-step seconds via the two-length marginal: prefill,
-    dispatch, and host overhead cancel in T(n_hi) - T(n_lo)."""
+    dispatch, and host overhead cancel in T(n_hi) - T(n_lo). Non-positive
+    marginals (a dispatch-noise outlier inflating the SHORT run) are
+    discarded; if every rep is junk, fall back to the median."""
     run(n_lo), run(n_hi)  # compile both lengths
-    best = float("inf")
+    marginals = []
     for _ in range(reps):
         t0 = time.time()
         run(n_lo)
@@ -43,8 +45,12 @@ def _marginal_step(run, n_lo=64, n_hi=320, reps=5):
         t0 = time.time()
         run(n_hi)
         t_hi = time.time() - t0
-        best = min(best, (t_hi - t_lo) / (n_hi - n_lo))
-    return best
+        marginals.append((t_hi - t_lo) / (n_hi - n_lo))
+    good = [m for m in marginals if m > 0]
+    if good:
+        return min(good)
+    marginals.sort()
+    return marginals[len(marginals) // 2]
 
 
 def llama7b_int8():
