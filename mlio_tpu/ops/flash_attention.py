@@ -169,7 +169,7 @@ def _flash_fwd_kernel(kvlen_ref, qoff_ref, *rest,
             lse = jnp.where(l == 0.0, NEG_INF,
                             jnp.where(jnp.isneginf(m), 0.0, m)
                             + jnp.log(l_safe))
-            lse_ref[0, 0] = lse[:, 0]
+            lse_ref[0, 0] = lse
 
     if not chunked:
         # Single-chunk fast path: carries stay in registers, unconditional
@@ -298,7 +298,7 @@ def _flash_fwd_kernel_kvq(kvlen_ref, qoff_ref, q_ref, k_ref, v_ref,
             lse = jnp.where(l == 0.0, NEG_INF,
                             jnp.where(jnp.isneginf(m), 0.0, m)
                             + jnp.log(l_safe))
-            lse_ref[0, 0] = lse[:, 0]
+            lse_ref[0, 0] = lse
 
     if not chunked:
         m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
@@ -419,7 +419,7 @@ def _flash_fwd_stream_kernel(kvlen_ref, qoff_ref, q_ref, k_hbm, v_hbm,
         lse = jnp.where(l == 0.0, NEG_INF,
                         jnp.where(jnp.isneginf(m), 0.0, m)
                         + jnp.log(l_safe))
-        lse_ref[0, 0] = lse[:, 0]
+        lse_ref[0, 0] = lse
 
 
 def _round_up(x: int, m: int) -> int:
@@ -608,7 +608,7 @@ def flash_attention(
         out_shape_s = jax.ShapeDtypeStruct((B, Hq, sq_pad_s, D), q.dtype)
         if return_stats:
             out_shape_s = (out_shape_s, jax.ShapeDtypeStruct(
-                (B, Hq, sq_pad_s), jnp.float32))
+                (B, Hq, sq_pad_s, 1), jnp.float32))
         kernel = functools.partial(
             _flash_fwd_stream_kernel, scale=scale, block_kv=bkv,
             causal=causal, group=group, with_stats=return_stats)
@@ -616,7 +616,8 @@ def flash_attention(
                                 lambda b, h, i, *_: (b, h, i, 0))
         o_spec_s = pl.BlockSpec((1, 1, sbq, D),
                                 lambda b, h, i, *_: (b, h, i, 0))
-        lse_spec_s = pl.BlockSpec((1, 1, sbq), lambda b, h, i, *_: (b, h, i))
+        lse_spec_s = pl.BlockSpec((1, 1, sbq, 1),
+                                lambda b, h, i, *_: (b, h, i, 0))
         out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -648,7 +649,7 @@ def flash_attention(
         if return_stats:
             o_s, lse_s = out
             return (o_s[:, :, :Sq, :].transpose(0, 2, 1, 3),
-                    lse_s[:, :, :Sq])
+                    lse_s[:, :, :Sq, 0])
         return out[:, :, :Sq, :].transpose(0, 2, 1, 3)
 
     # --- user mask: canonicalize + pad to the padded grid shapes ---
@@ -672,7 +673,8 @@ def flash_attention(
     out_shape = jax.ShapeDtypeStruct((B, Hq, sq_pad, D), q.dtype)
     if return_stats:
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((B, Hq, sq_pad), jnp.float32))
+                     jax.ShapeDtypeStruct((B, Hq, sq_pad, 1),
+                                          jnp.float32))
     common = dict(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -708,7 +710,8 @@ def flash_attention(
                               lambda b, h, i, j, *_: (b, h, i, 0))
         out_spec = pl.BlockSpec((1, 1, bq, D),
                                 lambda b, h, i, j, *_: (b, h, i, 0))
-        lse_spec = pl.BlockSpec((1, 1, bq), lambda b, h, i, j, *_: (b, h, i))
+        lse_spec = pl.BlockSpec((1, 1, bq, 1),
+                                lambda b, h, i, j, *_: (b, h, i, 0))
         if mask_kind == "key":
             def mask_idx(b, h, i, j, kvlen_ref, qoff_ref, *_):
                 _, _, jj, _ = kv_chunk_idx(b, h, i, j, kvlen_ref, qoff_ref)
@@ -737,7 +740,8 @@ def flash_attention(
         q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0))
         out_spec = pl.BlockSpec((1, 1, bq, D),
                                 lambda b, h, i, *_: (b, h, i, 0))
-        lse_spec = pl.BlockSpec((1, 1, bq), lambda b, h, i, *_: (b, h, i))
+        lse_spec = pl.BlockSpec((1, 1, bq, 1),
+                                lambda b, h, i, *_: (b, h, i, 0))
         if mask_kind == "key":
             mask_spec = pl.BlockSpec((1, 1, 1, kv_super),
                                      lambda b, h, i, *_: (b, 0, 0, 0))
@@ -832,7 +836,7 @@ def flash_attention(
     if return_stats:
         out, lse = out
         return (out[:, :, :Sq, :].transpose(0, 2, 1, 3),
-                lse[:, :, :Sq])
+                lse[:, :, :Sq, 0])
     out = out[:, :, :Sq, :].transpose(0, 2, 1, 3)
     return out
 
