@@ -270,9 +270,12 @@ def moe_13b_int8():
         get_spec("mixtral-8x7b"), name="moe-13b",
         hidden_size=2048, num_layers=24, num_heads=16, num_kv_heads=4,
         intermediate_size=5632, vocab_size=32000)
+    # donate: the bf16 expert stacks are consumed leaf-by-leaf as the
+    # QTensors are built — without this the bf16+int8 peak OOMs the 16GB
+    # chip (the expert tree alone is ~13GB bf16)
     params = quantize_params(
         init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16), spec,
-        "int8")
+        "int8", donate=True)
     B, CACHE = 8, 1024
     PROMPT, N_LO, N_HI = 704, 32, 160
     ids = jnp.zeros((B, PROMPT), jnp.int32)
