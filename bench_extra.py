@@ -264,18 +264,16 @@ def moe_13b_int8():
 
     from mlio_tpu.models import Impl, get_spec, init_params
     from mlio_tpu.runtime import generate
-    from mlio_tpu.runtime.quantization import quantize_params
+    from mlio_tpu.runtime.quantization import init_quantized_params
 
     spec = dataclasses.replace(
         get_spec("mixtral-8x7b"), name="moe-13b",
         hidden_size=2048, num_layers=24, num_heads=16, num_kv_heads=4,
         intermediate_size=5632, vocab_size=32000)
-    # donate: the bf16 expert stacks are consumed leaf-by-leaf as the
-    # QTensors are built — without this the bf16+int8 peak OOMs the 16GB
-    # chip (the expert tree alone is ~13GB bf16)
-    params = quantize_params(
-        init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16), spec,
-        "int8", donate=True)
+    # random-init DIRECTLY quantized: the bf16 expert tree alone (~13GB)
+    # plus any quantized leaf exceeds a 16GB chip even with donation, so
+    # never materialize it (weight values don't affect decode bandwidth)
+    params = init_quantized_params(spec, jax.random.PRNGKey(0))
     B, CACHE = 8, 1024
     PROMPT, N_LO, N_HI = 704, 32, 160
     ids = jnp.zeros((B, PROMPT), jnp.int32)
@@ -347,7 +345,7 @@ def _quantize_inplace(params, fmt, spec):
     built (runtime.quantization.quantize_params(donate=True)), so peak
     device memory stays ≈ model + one quantized stack — what lets the
     7B-class gate run on a 16 GB chip."""
-    from mlio_tpu.runtime.quantization import quantize_params
+    from mlio_tpu.runtime.quantization import init_quantized_params
 
     return quantize_params(params, spec, fmt, donate=True)
 

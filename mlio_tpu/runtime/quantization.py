@@ -139,10 +139,11 @@ def init_quantized_params(spec: ModelSpec, key: jax.Array,
     def zeros(shape):
         return jnp.zeros(shape, dtype)
 
-    def qweight(idx, kin, kout):
+    def qweight(idx, kin, kout, experts=0):
         # scale chosen so dequantized weights have ~fan-in init magnitude
-        scale = jnp.full((l, kout), (kin ** -0.5) / 64.0, jnp.float32)
-        q = jax.random.randint(keys[idx], (l, kin, kout), -127, 128,
+        lead = (l, experts) if experts else (l,)
+        scale = jnp.full(lead + (kout,), (kin ** -0.5) / 64.0, jnp.float32)
+        q = jax.random.randint(keys[idx], lead + (kin, kout), -127, 128,
                                dtype=jnp.int8)
         if weights == "fp8":
             # int8 -> e4m3 cast keeps peak HBM at 1 B/element (a normal()
@@ -166,6 +167,17 @@ def init_quantized_params(spec: ModelSpec, key: jax.Array,
     }
     for idx, (name, shp) in enumerate(shapes.items()):
         blocks[name] = qweight(idx, *shp) if shp is not None else None
+    if spec.num_experts:  # sparse MoE: quantized expert stacks + router
+        E = spec.num_experts
+        blocks.update({
+            "w_up": None, "b_up": None, "w_gate": None, "b_gate": None,
+            "w_down": None, "b_down": None,
+            "router": (jax.random.normal(keys[4], (l, h, E))
+                       * h ** -0.5).astype(dtype),
+            "moe_up": qweight(5, h, i, experts=E),
+            "moe_gate": qweight(6, h, i, experts=E) if gated else None,
+            "moe_down": qweight(6, i, h, experts=E),
+        })
     return {
         "tok_embed": (jax.random.normal(keys[-1], (spec.vocab_size, h))
                       * 0.02).astype(dtype),
