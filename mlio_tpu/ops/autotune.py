@@ -254,9 +254,12 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
                 cache_len: int = 1024, lo: int = 64, hi: int = 320,
                 candidates=None, save: bool = True,
                 save_path: Optional[str] = None, verbose: bool = False,
-                ) -> Dict:
+                quant: bool = False) -> Dict:
     """Time fused-decode (cache_block, vocab_chunk) combos on the real chip
-    with the two-length-marginal methodology and record the winner."""
+    with the two-length-marginal methodology and record the winner.
+    ``quant=True`` tunes the INT8-KV + INT8-weight variant of the class
+    (separate table key; the quantized kernel has different DMA/compute
+    balance, e.g. single- vs double-buffered KV)."""
     import functools
     import jax
     import jax.numpy as jnp
@@ -266,33 +269,44 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
     from mlio_tpu.ops.decode_layer import (
         decode_layer_stack,
         pad_lm_head_for_mega,
+        pad_scales_for_mega,
     )
     from mlio_tpu.runtime.kv_cache import init_cache
 
     spec, params = load_model(preset, dtype=jnp.bfloat16)
+    if quant:
+        from mlio_tpu.runtime.quantization import quantize_params
+
+        params = quantize_params(params, spec, "int8")
     impl = Impl(attention="flash", norm="fused")
     ids = jnp.zeros((batch, prompt), jnp.int32)
 
     # mirror the SHIPPING fused path (runtime/generate.py): combined k|v
     # cache when the lane split is 128-aligned, learned pos-embed folded
     # into the kernel when the table length allows the aligned 8-row DMA.
-    combined = spec.kv_dim % 128 == 0
+    # (quantized caches keep split k/v + scale caches)
+    combined = spec.kv_dim % 128 == 0 and not quant
     pe_in_kernel = (spec.positional == "learned"
                     and spec.max_seq_len % 8 == 0)
 
     @functools.partial(jax.jit, static_argnames=("n", "cb", "vc", "lm_V"))
     def run(params, lm_w, ids, n, cb, vc, lm_V):
-        cache = init_cache(spec, batch, cache_len, dtype=jnp.bfloat16)
+        cache = init_cache(spec, batch, cache_len, dtype=jnp.bfloat16,
+                          quant="int8" if quant else None)
         logits, cache = forward(params, spec, ids, impl=impl, cache=cache)
         tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
         ck = cache["k"].reshape(*cache["k"].shape[:3], -1)
         cv = cache["v"].reshape(*cache["v"].shape[:3], -1)
+        ks = vs = None
+        if quant:
+            ks = pad_scales_for_mega(cache["k_scale"], spec.num_kv_heads)
+            vs = pad_scales_for_mega(cache["v_scale"], spec.num_kv_heads)
         if combined:
             ck = jnp.concatenate([ck, cv], axis=-1)
             cv = None
 
         def step(carry, _):
-            ck, cv, pos, tok = carry
+            ck, cv, ks, vs, pos, tok = carry
             x = params["tok_embed"][tok]
             if spec.positional == "learned":
                 if not pe_in_kernel:
@@ -304,16 +318,18 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
                                       spec.rope_theta, jnp.float32)
             out = decode_layer_stack(
                 x, params["blocks"], ck, cv, pos, cs, sn, spec=spec,
+                k_scales=ks, v_scales=vs,
                 head_norm=(params["final_scale"], params["final_bias"]),
                 lm_head=lm_w, lm_vmajor=True, vocab_chunk=vc,
                 vocab_size=lm_V, cache_block=cb, kv_combined=combined,
                 pos_embed=params["pos_embed"] if pe_in_kernel else None)
             ck2 = out[1]
             cv2 = None if combined else out[2]
-            return (ck2, cv2, pos + 1, out[-1][:, 0]), ()
+            ks2, vs2 = (out[3], out[4]) if quant else (None, None)
+            return (ck2, cv2, ks2, vs2, pos + 1, out[-1][:, 0]), ()
 
-        (ck, cv, pos, tok), _ = jax.lax.scan(
-            step, (ck, cv, cache["pos"], tok), None, length=n)
+        (ck, cv, ks, vs, pos, tok), _ = jax.lax.scan(
+            step, (ck, cv, ks, vs, cache["pos"], tok), None, length=n)
         return tok
 
     best = None
@@ -345,7 +361,7 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
     best.pop("_dt")
     if save:
         key = mega_decode_key(spec.hidden_size, spec.kv_dim, batch,
-                              cache_len, False)
+                              cache_len, quant)
         _save(key, best, save_path)
     return best
 

@@ -690,6 +690,10 @@ def decode_layer_stack(
     bs = cache_block or (128 if Smax % 128 == 0 else 64)
     while Smax % bs:
         bs //= 2
+    if k_scales is not None and bs % 128:
+        # the in-kernel scale-slab lane slice ksb[:, :, j*bs : j*bs+bs]
+        # must be 128-lane aligned (Mosaic cannot slice mid-tile)
+        bs = 128 if Smax % 128 == 0 else bs
     gated = spec.activation in ("swiglu", "geglu")
     kv_quant = k_scales is not None
     cdtype = x.dtype  # compute dtype (weights may be int8 QTensors)
