@@ -345,12 +345,12 @@ def _quantize_inplace(params, fmt, spec):
     built (runtime.quantization.quantize_params(donate=True)), so peak
     device memory stays ≈ model + one quantized stack — what lets the
     7B-class gate run on a 16 GB chip."""
-    from mlio_tpu.runtime.quantization import init_quantized_params
+    from mlio_tpu.runtime.quantization import quantize_params
 
     return quantize_params(params, spec, fmt, donate=True)
 
 
-def ppl_gate(shapes=(('gpt2-xl', 4, 512), ('llama2-7b', 2, 512))):
+def ppl_gate(shapes=(('gpt2-xl', 4, 512), ('llama2-7b', 1, 512))):
     """INT8/INT4/FP8 perplexity-delta gate at GPT-2-XL and 7B-class shapes
     on the real chip (BASELINE.md: ≤0.1 ppl delta at INT8; reference gate
     definition mirrored by benchmarks/metrics.py:118-140).
