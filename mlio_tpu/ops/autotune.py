@@ -109,17 +109,29 @@ FLASH_CANDIDATES: Tuple[Tuple[int, int], ...] = (
 )
 
 
-def _median_time(fn, reps: int = 5) -> float:
-    import jax
+def _marginal_time(make_run, lo: int = 3, hi: int = 10,
+                   reps: int = 3) -> float:
+    """Per-iteration seconds via the two-length in-jit marginal.
 
-    jax.block_until_ready(fn())  # compile + warm
-    times = []
+    ``make_run(n)`` must return a zero-arg callable that runs the op n
+    times inside ONE jit (lax.scan with a carry dependence) and returns a
+    host scalar (a real device sync — on remote backends
+    ``block_until_ready`` alone returns before the compute finishes and
+    produces nonsense timings)."""
+    f_lo, f_hi = make_run(lo), make_run(hi)
+    f_lo(), f_hi()  # compile + warm
+    best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+        f_lo()
+        tl = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        f_hi()
+        th = time.perf_counter() - t0
+        m = (th - tl) / (hi - lo)
+        if m > 0:
+            best = min(best, m)
+    return best
 
 
 def tune_flash(
@@ -151,13 +163,26 @@ def tune_flash(
     if causal and sq == skv:
         flops //= 2
 
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("n", "bq", "bkv"))
+    def run_n(q, k, v, n, bq, bkv):
+        def step(c, _):
+            qq = q + c.astype(q.dtype)  # carry dependence: no CSE/hoist
+            o = flash_attention(qq, k, v, causal=causal,
+                                block_q=bq, block_kv=bkv)
+            return jnp.sum(o[0, :8, 0, :].astype(jnp.float32)) * 1e-20, ()
+        out, _ = jax.lax.scan(step, jnp.float32(0), None, length=n)
+        return out
+
     best: Optional[Dict] = None
     for bq, bkv in candidates or FLASH_CANDIDATES:
         if bq > _bucket(sq) or bkv > _bucket(skv):
             continue
         try:
-            dt = _median_time(lambda bq=bq, bkv=bkv: flash_attention(
-                q, k, v, causal=causal, block_q=bq, block_kv=bkv))
+            def make_run(n, bq=bq, bkv=bkv):
+                return lambda: float(run_n(q, k, v, n, bq, bkv))
+            dt = _marginal_time(make_run)
         except Exception as e:  # VMEM overflow / unsupported tiling
             if verbose:
                 print(f"  ({bq:5d},{bkv:5d})  failed: {type(e).__name__}")

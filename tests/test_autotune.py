@@ -74,11 +74,11 @@ def test_tune_flash_records_winner(tmp_path, monkeypatch):
 
     calls = []
 
-    def fake_median(fn, reps=5):
+    def fake_marginal(make_run, lo=3, hi=10, reps=3):
         calls.append(1)
         return 0.001 * len(calls)  # first candidate is fastest
 
-    monkeypatch.setattr(autotune, "_median_time", fake_median)
+    monkeypatch.setattr(autotune, "_marginal_time", fake_marginal)
     import mlio_tpu.ops.flash_attention as fa
     monkeypatch.setattr(fa, "flash_attention",
                         lambda *a, **k: jnp.zeros(()))
