@@ -117,6 +117,35 @@ def gpt2_int8():
             "vs_baseline": round(tok_s / roofline, 3)}
 
 
+def _attn_marginal(attn_fn, q, k, v, lo=2, hi=6, reps=3):
+    """Per-call seconds for a big attention op via the in-jit scan marginal
+    (single-dispatch timing adds ~30ms of relay overhead per call on this
+    backend and block_until_ready does not sync remote compute)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_n(q, k, v, n):
+        def step(c, _):
+            qq = q + c.astype(q.dtype)  # carry dependence: no CSE/hoist
+            o = attn_fn(qq, k, v)
+            return jnp.sum(o[0, :8, 0, :].astype(jnp.float32)) * 1e-20, ()
+        out, _ = jax.lax.scan(step, jnp.float32(0), None, length=n)
+        return out
+
+    def f(n):
+        return float(run_n(q, k, v, n))
+
+    f(lo), f(hi)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time(); f(lo); tl = time.time() - t0
+        t0 = time.time(); f(hi); th = time.time() - t0
+        m = (th - tl) / (hi - lo)
+        if m > 0:
+            best = min(best, m)
+    return best
+
+
 def ring_65k():
     """65K causal prefill through the ring chunk schedule (config 4's
     mechanism) with the Pallas flash kernel as the per-chunk compute
@@ -129,16 +158,10 @@ def ring_65k():
     k = jnp.ones((B, S, H, D), jnp.bfloat16)
     v = jnp.ones((B, S, H, D), jnp.bfloat16)
 
-    @jax.jit
-    def run_attn(q, k, v):
-        return chunked_ring_attention(q, k, v, causal=True,
-                                      chunk_size=8192,
-                                      use_flash=True).sum()
-
-    def run():
-        return float(run_attn(q, k, v))
-
-    dt = _time(run)
+    dt = _attn_marginal(
+        lambda qq, kk, vv: chunked_ring_attention(
+            qq, kk, vv, causal=True, chunk_size=8192, use_flash=True),
+        q, k, v)
     tok_s = S / dt
     # FLOPs-bound: causal attention = 2 * 4*S^2/2*H*D FLOPs at bf16 MXU
     flops = 4 * B * H * S * S * D / 2  # QK^T + PV, causal half
@@ -191,14 +214,9 @@ def flash_65k():
     B, S, H, D = 1, 65536, 4, 128
     q = jnp.ones((B, S, H, D), jnp.bfloat16)
 
-    @jax.jit
-    def run_attn(q):
-        return flash_attention(q, q, q, causal=True).astype(jnp.float32).sum()
-
-    def run():
-        return float(run_attn(q))
-
-    dt = _time(run)
+    dt = _attn_marginal(
+        lambda qq, kk, vv: flash_attention(qq, kk, vv, causal=True),
+        q, q, q)
     flops = 4 * B * H * S * S * D / 2
     return {"metric": "flash_attention_65k_prefill_tokens_per_sec",
             "value": round(S / dt, 1), "unit": "tok/s",
