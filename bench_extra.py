@@ -390,9 +390,20 @@ def ppl_gate(shapes=(('gpt2-xl', 4, 512), ('llama2-7b', 1, 512))):
         ids = jax.random.randint(jax.random.PRNGKey(1), (B, S + 1), 0,
                                  spec.vocab_size, jnp.int32)
         inputs, targets = ids[:, :-1], ids[:, 1:]
-        fwd = jax.jit(lambda p: forward(
-            p, spec, inputs, impl=Impl(attention="flash", norm="fused")
-            if jax.default_backend() == "tpu" else Impl())[0])
+        impl = (Impl(attention="flash", norm="fused")
+                if jax.default_backend() == "tpu" else Impl())
+        # 7B-class bf16 models fit the 16GB chip, but the JITTED S=512
+        # forward's allocation pattern OOMs (measured; eager runs fine at
+        # ~160s) — run the big legs op-by-op. This is a once-per-capture
+        # quality gate, not a throughput bench.
+        big = spec.num_params() * 2 > (8 << 30)
+
+        def fwd(p, _inputs=inputs, _impl=impl, _spec=spec, _big=big):
+            if _big:
+                with jax.disable_jit():
+                    return forward(p, _spec, _inputs, impl=_impl)[0]
+            return jax.jit(lambda q: forward(q, _spec, _inputs,
+                                             impl=_impl)[0])(p)
 
         def fresh():
             return init_params(spec, jax.random.PRNGKey(0),
