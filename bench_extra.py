@@ -368,7 +368,9 @@ def _quantize_inplace(params, fmt, spec):
     return quantize_params(params, spec, fmt, donate=True)
 
 
-def ppl_gate(shapes=(('gpt2-xl', 4, 512), ('llama2-7b', 1, 512))):
+def ppl_gate(shapes=(('llama2-7b', 1, 512), ('gpt2-xl', 4, 512))):
+    # NOTE: big legs run FIRST — a 13.5GB model needs a fresh heap; after
+    # the gpt2-xl leg's allocations the same init fails on fragmentation.
     """INT8/INT4/FP8 perplexity-delta gate at GPT-2-XL and 7B-class shapes
     on the real chip (BASELINE.md: ≤0.1 ppl delta at INT8; reference gate
     definition mirrored by benchmarks/metrics.py:118-140).
