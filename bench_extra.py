@@ -417,15 +417,34 @@ def ppl_gate(shapes=(('llama2-7b', 1, 512), ('gpt2-xl', 4, 512))):
             print(f"# ppl-gate {preset}: bf16 fwd", file=sys.stderr,
                   flush=True)
             entry["bf16"] = perplexity(fwd(params), targets)
-            for fmt in ("int8", "int4", "fp8"):
-                params = _quantize_inplace(params, fmt, spec)  # eats bf16
-                print(f"# ppl-gate {preset}: {fmt} fwd", file=sys.stderr,
-                      flush=True)
-                entry[fmt] = perplexity(fwd(params), targets)
+            if big:
+                # never co-resident: free the bf16 tree entirely, then
+                # build each quantized variant leaf-streamed from the SAME
+                # PRNG keys (peak ~ quantized tree + one bf16 stack)
+                from mlio_tpu.runtime.quantization import (
+                    streamed_quantized_init,
+                )
+
                 del params
                 gc.collect()
-                if fmt != "fp8":  # re-init the bf16 master (same PRNG key)
-                    params = fresh()
+                for fmt in ("int8", "int4", "fp8"):
+                    params = streamed_quantized_init(
+                        spec, jax.random.PRNGKey(0), fmt)
+                    print(f"# ppl-gate {preset}: {fmt} fwd",
+                          file=sys.stderr, flush=True)
+                    entry[fmt] = perplexity(fwd(params), targets)
+                    del params
+                    gc.collect()
+            else:
+                for fmt in ("int8", "int4", "fp8"):
+                    params = _quantize_inplace(params, fmt, spec)
+                    print(f"# ppl-gate {preset}: {fmt} fwd",
+                          file=sys.stderr, flush=True)
+                    entry[fmt] = perplexity(fwd(params), targets)
+                    del params
+                    gc.collect()
+                    if fmt != "fp8":  # re-init the bf16 master (same key)
+                        params = fresh()
         except Exception as e:
             results[preset] = {"error": f"{type(e).__name__}: {e}"[:300]}
             try:

@@ -328,3 +328,101 @@ def apply_activation_scales(
                 blocks[name] = QTensor(w.q, w.scale, w.fmt, sc)
     out["blocks"] = blocks
     return out
+
+
+def streamed_quantized_init(spec: ModelSpec, key: jax.Array,
+                            weights: str = "int8",
+                            dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """init_params + quantize_params, but each projection's bf16 stack is
+    REGENERATED from its PRNG key, quantized (donated), and freed before
+    the next — so the full bf16 tree is never resident. Peak device memory
+    ≈ quantized tree + ONE bf16 stack (~10GB for a 7B model vs ~15GB for
+    init-then-quantize), which is what lets the 7B ppl-gate leg build its
+    quantized variants on a 16GB chip.
+
+    Produces BIT-IDENTICAL results to
+    ``quantize_params(init_params(spec, key, dtype), spec, weights,
+    donate=True)`` — the jitted conversion path — verified by
+    tests/test_quantization.py; it replicates
+    models.transformer.init_params' per-leaf key layout exactly.
+    """
+    import gc
+
+    spec.validate()
+    h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
+    qd, kvd = spec.q_dim, spec.kv_dim
+    keys = jax.random.split(key, 8)
+    gated = spec.activation in ("swiglu", "geglu")
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape) * (fan_in ** -0.5)).astype(dtype)
+
+    qfn = jax.jit(
+        jax.vmap(lambda x: quantize(x, weights)), donate_argnums=0)
+
+    def qleaf(k, shape, fan_in):
+        full = w(k, shape, fan_in)
+        out = jax.block_until_ready(qfn(full))
+        del full
+        gc.collect()
+        return out
+
+    def maybe_zeros(shape, cond):
+        return jnp.zeros(shape, dtype) if cond else None
+
+    # identical key/leaf mapping to init_params (transformer.py:80-113)
+    blocks = {
+        "ln1_scale": jnp.ones((l, h), dtype),
+        "ln1_bias": maybe_zeros((l, h), spec.norm == "layernorm"),
+        "wq": qleaf(keys[0], (l, h, qd), h),
+        "bq": maybe_zeros((l, qd), spec.use_qkv_bias),
+        "wk": qleaf(keys[1], (l, h, kvd), h),
+        "bk": maybe_zeros((l, kvd), spec.use_qkv_bias),
+        "wv": qleaf(keys[2], (l, h, kvd), h),
+        "bv": maybe_zeros((l, kvd), spec.use_qkv_bias),
+        "wo": qleaf(keys[3], (l, qd, h), qd),
+        "bo": maybe_zeros((l, h), spec.use_out_bias),
+        "ln2_scale": jnp.ones((l, h), dtype),
+        "ln2_bias": maybe_zeros((l, h), spec.norm == "layernorm"),
+        "w_up": qleaf(keys[4], (l, h, i), h),
+        "b_up": maybe_zeros((l, i), spec.use_mlp_bias),
+        "w_gate": qleaf(keys[5], (l, h, i), h) if gated else None,
+        "b_gate": maybe_zeros((l, i), spec.use_mlp_bias and gated),
+        "w_down": qleaf(keys[6], (l, i, h), i),
+        "b_down": maybe_zeros((l, h), spec.use_mlp_bias),
+    }
+    if spec.num_experts:
+        E = spec.num_experts
+        qfn_moe = jax.jit(jax.vmap(jax.vmap(lambda x: quantize(x, weights))),
+                          donate_argnums=0)
+
+        def qexp(k, kin, kout):
+            full = w(k, (l, E, kin, kout), kin)
+            out = jax.block_until_ready(qfn_moe(full))
+            del full
+            gc.collect()
+            return out
+
+        blocks.update({
+            "w_up": None, "b_up": None, "w_gate": None, "b_gate": None,
+            "w_down": None, "b_down": None,
+            "router": w(keys[4], (l, h, E), h),
+            "moe_up": qexp(keys[5], h, i),
+            "moe_gate": qexp(keys[6], h, i) if gated else None,
+            "moe_down": qexp(keys[6], i, h),
+        })
+    return {
+        "tok_embed": (jax.random.normal(keys[7], (spec.vocab_size, h))
+                      * 0.02).astype(dtype),
+        "pos_embed": (
+            (jax.random.normal(keys[7], (spec.max_seq_len, h))
+             * 0.01).astype(dtype)
+            if spec.positional == "learned" else None),
+        "blocks": blocks,
+        "final_scale": jnp.ones((h,), dtype),
+        "final_bias": maybe_zeros((h,), spec.norm == "layernorm"),
+        "lm_head": (None if spec.tie_embeddings
+                    else w(keys[7], (h, spec.vocab_size), h)),
+        "lm_head_bias": (jnp.zeros((spec.vocab_size,), dtype)
+                         if spec.use_head_bias else None),
+    }

@@ -250,3 +250,39 @@ def test_w8a8_perplexity_delta_gate():
     # random-weight tiny model: logits are near-uniform so ppl is flat; the
     # assert guards the path runs end-to-end and stays numerically sane
     assert delta < 0.5 * base, (delta, base)
+
+
+def test_streamed_quantized_init_matches_init_then_quantize():
+    """streamed_quantized_init (the low-peak 7B ppl-gate path) produces
+    bit-identical QTensors to quantize_params(init_params(...)) — it must
+    replicate init_params' per-leaf PRNG key layout exactly."""
+    from mlio_tpu.models import get_spec, init_params
+    from mlio_tpu.ops.quant import QTensor
+    from mlio_tpu.runtime.quantization import (
+        quantize_params,
+        streamed_quantized_init,
+    )
+
+    for preset in ("gpt2-tiny", "llama-tiny", "moe-tiny"):
+        spec = get_spec(preset)
+        key = jax.random.PRNGKey(7)
+        # donate=True is the jitted conversion the ppl gate's small legs
+        # use; the streamed path must match it bit-for-bit
+        ref = quantize_params(
+            init_params(spec, key, dtype=jnp.bfloat16), spec, "int8",
+            donate=True)
+        got = streamed_quantized_init(spec, key, "int8")
+        for name, r in ref["blocks"].items():
+            g = got["blocks"][name]
+            if r is None:
+                assert g is None, name
+            elif isinstance(r, QTensor):
+                assert jnp.array_equal(r.q, g.q), name
+                assert jnp.array_equal(r.scale, g.scale), name
+            else:
+                assert jnp.array_equal(r, g), name
+        for name in ("tok_embed", "pos_embed", "lm_head", "final_scale"):
+            r, g = ref[name], got[name]
+            assert (r is None) == (g is None), name
+            if r is not None:
+                assert jnp.array_equal(r, g), name
