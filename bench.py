@@ -54,18 +54,19 @@ def main():
     run(N_HI)  # compile + warm both lengths
     print(f"# compile+warm took {time.time() - t_compile:.0f}s",
           file=sys.stderr)
-    marginals = []
+    # Estimator: (min T_hi - min T_lo) / steps. Noise on this shared chip
+    # only ADDS time, so each side's minimum approaches its true time;
+    # differencing per-rep pairs lets one inflated T_lo fabricate an
+    # impossibly small or negative marginal.
+    lows, highs = [], []
     for _ in range(5):
         t0 = time.time()
         run(N_LO)
-        t_lo = time.time() - t0
+        lows.append(time.time() - t0)
         t0 = time.time()
         run(N_HI)
-        t_hi = time.time() - t0
-        marginals.append((t_hi - t_lo) / (N_HI - N_LO))
-    # discard non-positive outliers (dispatch noise inflating the short run)
-    good = sorted(m for m in marginals if m > 0)
-    best = good[0] if good else sorted(marginals)[len(marginals) // 2]
+        highs.append(time.time() - t0)
+    best = (min(highs) - min(lows)) / (N_HI - N_LO)
     tok_s = BATCH / best
 
     # HBM roofline for batched decode: weights once per step + the KV

@@ -32,25 +32,23 @@ def _time(fn, warm=1):
 
 
 def _marginal_step(run, n_lo=64, n_hi=320, reps=5):
-    """Best per-step seconds via the two-length marginal: prefill,
-    dispatch, and host overhead cancel in T(n_hi) - T(n_lo). Non-positive
-    marginals (a dispatch-noise outlier inflating the SHORT run) are
-    discarded; if every rep is junk, fall back to the median."""
+    """Per-step seconds via the two-length marginal: prefill, dispatch,
+    and host overhead cancel in T(n_hi) - T(n_lo).
+
+    Estimator: (min T_hi - min T_lo) / (n_hi - n_lo). Noise on this shared
+    chip only ever ADDS time, so each side's minimum approaches its true
+    time; differencing per-rep pairs instead lets one inflated T_lo
+    fabricate an impossibly small (or negative) marginal."""
     run(n_lo), run(n_hi)  # compile both lengths
-    marginals = []
+    lows, highs = [], []
     for _ in range(reps):
         t0 = time.time()
         run(n_lo)
-        t_lo = time.time() - t0
+        lows.append(time.time() - t0)
         t0 = time.time()
         run(n_hi)
-        t_hi = time.time() - t0
-        marginals.append((t_hi - t_lo) / (n_hi - n_lo))
-    good = [m for m in marginals if m > 0]
-    if good:
-        return min(good)
-    marginals.sort()
-    return marginals[len(marginals) // 2]
+        highs.append(time.time() - t0)
+    return (min(highs) - min(lows)) / (n_hi - n_lo)
 
 
 def llama7b_int8():
