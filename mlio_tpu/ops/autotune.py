@@ -175,6 +175,14 @@ def tune_flash(
         out, _ = jax.lax.scan(step, jnp.float32(0), None, length=n)
         return out
 
+    # scale the scan lengths so the marginal signal (hi-lo iterations)
+    # is ~0.5s of device time — per-call dispatch noise on the remote
+    # backend is tens of ms, so sub-ms-per-iter shapes need hundreds of
+    # in-jit iterations to measure above it
+    est_iter_s = max(flops / 40e12, 1e-5)
+    hi_n = min(2000, max(10, int(0.5 / est_iter_s)))
+    lo_n = max(3, hi_n // 4)
+
     best: Optional[Dict] = None
     for bq, bkv in candidates or FLASH_CANDIDATES:
         if bq > _bucket(sq) or bkv > _bucket(skv):
@@ -182,7 +190,7 @@ def tune_flash(
         try:
             def make_run(n, bq=bq, bkv=bkv):
                 return lambda: float(run_n(q, k, v, n, bq, bkv))
-            dt = _marginal_time(make_run)
+            dt = _marginal_time(make_run, lo=lo_n, hi=hi_n)
         except Exception as e:  # VMEM overflow / unsupported tiling
             if verbose:
                 print(f"  ({bq:5d},{bkv:5d})  failed: {type(e).__name__}")
