@@ -9,6 +9,12 @@
 
 const api = (p) => fetch(p).then((r) => r.json());
 
+/* Escape data-derived strings before any innerHTML interpolation: result
+   files are user-supplied JSON, so names/annotations must render as text,
+   never as markup. */
+const esc = (s) => String(s).replace(/[&<>"']/g, (c) =>
+  ({ "&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&#39;" }[c]));
+
 function svgEl(tag, attrs) {
   const el = document.createElementNS("http://www.w3.org/2000/svg", tag);
   for (const [k, v] of Object.entries(attrs)) el.setAttribute(k, v);
@@ -86,7 +92,7 @@ function barChart(container, spec) {
     });
     const note = (spec.annotations || [])[i];
     rect.onmousemove = (e) =>
-      showTip(e, `<b>${labels[i]}</b>: ${fmt(v)}${note ? `<br>${note}` : ""}`);
+      showTip(e, `<b>${esc(labels[i])}</b>: ${fmt(v)}${note ? `<br>${esc(note)}` : ""}`);
     rect.onmouseleave = hideTip;
     svg.appendChild(rect);
     const t = svgEl("text", {
@@ -121,7 +127,7 @@ function lineChart(container, spec) {
     }));
     s.y.forEach((v, i) => {
       const c = svgEl("circle", { cx: sx(i), cy: sy(v), r: 3, class: `dot line-${si % 6}` });
-      c.onmousemove = (e) => showTip(e, `<b>${s.name}</b><br>${spec.x_label || "x"}=${xs[i]}, y=${fmt(v)}`);
+      c.onmousemove = (e) => showTip(e, `<b>${esc(s.name)}</b><br>${esc(spec.x_label || "x")}=${esc(xs[i])}, y=${fmt(v)}`);
       c.onmouseleave = hideTip;
       svg.appendChild(c);
     });
@@ -153,7 +159,7 @@ function groupedBarChart(container, spec) {
         width: Math.max(1, bw - 2), height: Math.max(0, h),
         class: `bar bar-${mi % 6}`,
       });
-      rect.onmousemove = (e) => showTip(e, `<b>${g}</b><br>${m}: ${fmt(v)}`);
+      rect.onmousemove = (e) => showTip(e, `<b>${esc(g)}</b><br>${esc(m)}: ${fmt(v)}`);
       rect.onmouseleave = hideTip;
       svg.appendChild(rect);
     });
@@ -254,7 +260,7 @@ async function loadModel(name) {
   const data = await api(`/api/profile/${name}`);
   const rows = data.results || [];
   document.getElementById("summary-body").innerHTML =
-    `<b>${name}</b>: ${rows.length} entries`;
+    `<b>${esc(name)}</b>: ${rows.length} entries`;
 
   const charts = await api(`/api/charts/${name}`);
   const main = document.getElementById("charts");
@@ -266,8 +272,8 @@ async function loadModel(name) {
   ul.innerHTML = "";
   recs.forEach((r) => {
     const li = document.createElement("li");
-    li.innerHTML = `<b>[P${r.priority}] ${r.title}</b> — ${r.estimated_gain}
-      <code>${r.action}</code>`;
+    li.innerHTML = `<b>[P${esc(r.priority)}] ${esc(r.title)}</b> — ${esc(r.estimated_gain)}
+      <code>${esc(r.action)}</code>`;
     ul.appendChild(li);
   });
 }

@@ -438,13 +438,14 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
     use_mega = (impl.decode_stack == "mega"
                 or (impl.decode_stack == "auto"
                     and supports_decode_stack(spec, cache_quant=quant,
-                                              blocks=params["blocks"])))
+                                              blocks=params["blocks"],
+                                              smax=Smax)))
     use_tiled = (not use_mega
                  and (impl.decode_stack == "tiled"
                       or (impl.decode_stack == "auto"
                           and supports_decode_tiled(
                               spec, B, cache_quant=quant,
-                              blocks=params["blocks"]))))
+                              blocks=params["blocks"], smax=Smax))))
     if use_tiled:
         # Big-model megakernel: same contract, chunk-streamed weights.
         cs = (cos[:1, 0], sin[:1, 0]) if cos is not None else (None, None)

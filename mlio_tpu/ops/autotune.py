@@ -94,6 +94,13 @@ def _save(key: str, entry: Dict, path: Optional[str] = None) -> None:
             continue
         _load_tables.cache_clear()
         return
+    import warnings
+
+    warnings.warn(  # never drop a tuned entry silently (read-only install
+        # + unwritable HOME + no MLIO_AUTOTUNE_CACHE override)
+        f"autotune: could not write tuned entry {key!r} to any of "
+        f"{candidates}; set MLIO_AUTOTUNE_CACHE to a writable path",
+        RuntimeWarning, stacklevel=2)
 
 
 # ---------------------------------------------------------------------------
@@ -131,6 +138,11 @@ def _marginal_time(make_run, lo: int = 3, hi: int = 10,
         m = (th - tl) / (hi - lo)
         if m > 0:
             best = min(best, m)
+    if not (best > 0 and best != float("inf")):
+        # every rep produced a non-positive marginal (plausible on a noisy
+        # shared chip): raising here lets the candidate loops skip this
+        # candidate instead of recording ms=Infinity / tflops=0 in the table
+        raise RuntimeError("no finite marginal measurement (noisy device?)")
     return best
 
 
@@ -386,6 +398,8 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
         if verbose:
             print(f"  cb={cb:4d} vc={vc:5d}: {dt * 1e3:7.3f} ms/step",
                   flush=True)
+        if not (0 < dt < float("inf")):  # noisy chip: no finite marginal
+            continue
         if best is None or dt < best["_dt"]:
             best = {"cache_block": cb, "vocab_chunk": vc, "_dt": dt,
                     "ms": round(dt * 1e3, 4)}
@@ -485,6 +499,8 @@ def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
             dt = min(dt, (th - tl) / (hi - lo))
         if verbose:
             print(f"  cb={cb:4d}: {dt * 1e3:8.3f} ms/step", flush=True)
+        if not (0 < dt < float("inf")):  # noisy chip: no finite marginal
+            continue
         if best is None or dt < best["_dt"]:
             best = {"cache_block": cb, "_dt": dt, "ms": round(dt * 1e3, 4)}
     if best is None:

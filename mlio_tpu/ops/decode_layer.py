@@ -550,11 +550,13 @@ def _weight_itemsize(blocks) -> Optional[int]:
 
 
 def supports_decode_stack(spec, cache_quant: bool = False,
-                          blocks=None) -> bool:
+                          blocks=None, smax: Optional[int] = None) -> bool:
     """Whether the megakernel path applies (VMEM + feature constraints).
     ``cache_quant`` = INT8 KV cache (supported; halves cache block bytes)."""
     if spec.parallel_residual or spec.num_experts:
         return False
+    if cache_quant and smax is not None and smax % 128:
+        return False  # scale-slab lane slices need a 128-aligned cache
     if spec.activation not in ("swiglu", "geglu", "gelu", "gelu_new",
                                "gelu_tanh", "relu"):
         return False
@@ -693,7 +695,12 @@ def decode_layer_stack(
     if k_scales is not None and bs % 128:
         # the in-kernel scale-slab lane slice ksb[:, :, j*bs : j*bs+bs]
         # must be 128-lane aligned (Mosaic cannot slice mid-tile)
-        bs = 128 if Smax % 128 == 0 else bs
+        if Smax % 128:
+            raise ValueError(
+                f"INT8 KV cache needs a 128-aligned cache length "
+                f"(cache_len={Smax}); pad the cache to a multiple of 128 "
+                f"or use the per-op decode path")
+        bs = 128
     gated = spec.activation in ("swiglu", "geglu")
     kv_quant = k_scales is not None
     cdtype = x.dtype  # compute dtype (weights may be int8 QTensors)

@@ -175,10 +175,12 @@ def _weight_fmt(blocks) -> Optional[str]:
 
 
 def supports_decode_tiled(spec, B: int = 8, cache_quant: bool = False,
-                          blocks=None) -> bool:
+                          blocks=None, smax: Optional[int] = None) -> bool:
     """Whether the tiled megakernel applies to this model/layout."""
     if spec.parallel_residual or spec.num_experts:
         return False
+    if cache_quant and smax is not None and smax % 128:
+        return False  # scale-slab lane slices need a 128-aligned cache
     if spec.activation not in ("swiglu", "geglu", "gelu", "gelu_new",
                                "gelu_tanh", "relu"):
         return False
@@ -656,7 +658,12 @@ def decode_layer_tiled(
     if kv_quant and bs % 128:
         # the in-kernel scale-cache lane slice ksb[:, :, j*bs : j*bs+bs]
         # must be 128-lane aligned (Mosaic cannot slice mid-tile)
-        bs = 128 if Smax % 128 == 0 else bs
+        if Smax % 128:
+            raise ValueError(
+                f"INT8 KV cache needs a 128-aligned cache length "
+                f"(cache_len={Smax}); pad the cache to a multiple of 128 "
+                f"or use the per-op decode path")
+        bs = 128
     wdtype = cdtype
 
     def wq_pair(name):

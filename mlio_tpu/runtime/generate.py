@@ -57,13 +57,13 @@ def _generate_impl(
                 or (impl.decode_stack == "auto"
                     and supports_decode_stack(
                         spec, cache_quant=quantized,
-                        blocks=params["blocks"])))
+                        blocks=params["blocks"], smax=cache_len)))
     use_tiled = (not use_mega
                  and (impl.decode_stack == "tiled"
                       or (impl.decode_stack == "auto"
                           and supports_decode_tiled(
                               spec, B, cache_quant=quantized,
-                              blocks=params["blocks"]))))
+                              blocks=params["blocks"], smax=cache_len))))
     if (use_mega or use_tiled) and impl.attention != "dense":
         cache = dict(cache)
         cache["k"] = cache["k"].reshape(*cache["k"].shape[:3], -1)
