@@ -26,6 +26,17 @@ This kernel keeps ONE pallas_call per decode step with grid
     out-of-range lanes (intermediate % ic != 0) are masked in-kernel, so
     no host-side weight padding is needed.
 
+Sparse-MoE models (Mixtral architecture) run the same schedule with the
+MLP phases expanded to ``E * Km`` (expert x chunk) phases: the router is
+evaluated IN-KERNEL at the fold phase (softmax -> top-k -> renormalize,
+the twin of ops.moe.router_topk) and each expert's streamed contribution
+is weighted by its per-token combine weight — tokens not routed to an
+expert contribute 0. At decode batch sizes (B x top_k assignments over E
+experts) nearly every expert is touched every step, so streaming all
+experts masked matches the all-expert-bytes roofline while avoiding the
+XLA path's dequant-materialize (int8 read + bf16 write + bf16 read = 3x
+bytes — the round-3 moe decode hole).
+
 Weight chunks stream via MANUAL double-buffered DMA through a SHARED
 four-buffer scratch pool that the attention and MLP phases reuse (each
 phase prefetches the next phase's chunks into the other slot, including
@@ -176,8 +187,12 @@ def _weight_fmt(blocks) -> Optional[str]:
 
 def supports_decode_tiled(spec, B: int = 8, cache_quant: bool = False,
                           blocks=None, smax: Optional[int] = None) -> bool:
-    """Whether the tiled megakernel applies to this model/layout."""
-    if spec.parallel_residual or spec.num_experts:
+    """Whether the tiled megakernel applies to this model/layout.
+
+    Sparse-MoE models qualify too: the MLP phases become (expert x chunk)
+    phases with the router evaluated in-kernel at the fold phase — the
+    fused MoE decode path (see _tiled_kernel)."""
+    if spec.parallel_residual:
         return False
     if cache_quant and smax is not None and smax % 128:
         return False  # scale-slab lane slices need a 128-aligned cache
@@ -187,6 +202,19 @@ def supports_decode_tiled(spec, B: int = 8, cache_quant: bool = False,
     itemsize = _weight_itemsize(blocks)
     if itemsize is None:
         return False
+    if spec.num_experts:
+        if blocks is None or blocks.get("router") is None:
+            return False
+        if blocks.get("moe_up") is None or blocks.get("moe_down") is None:
+            return False
+        from mlio_tpu.ops.quant import QTensor
+
+        # expert weights must share the attention weights' storage dtype
+        mu, wq = blocks["moe_up"], blocks["wq"]
+        if isinstance(mu, QTensor) != isinstance(wq, QTensor):
+            return False
+        if isinstance(mu, QTensor) and mu.fmt != wq.fmt:
+            return False
     if spec.head_size % 128 and (spec.num_heads * spec.head_size) % 128:
         return False
     return choose_tiling(spec, B, itemsize, 1 if cache_quant else 2,
@@ -223,6 +251,7 @@ _NAMES = ["x", "cosq", "sinq", "cosk", "sink", "rotq", "rotk",
           "expand", "group", "kvmap",
           "ln1_scale", "ln1_bias", "wq", "sq", "bq", "wk", "sk", "bk",
           "wv", "sv", "bv", "wo", "so", "bo", "ln2_scale", "ln2_bias",
+          "router",
           "w_up", "s_up", "b_up", "w_gate", "s_gate", "b_gate",
           "w_down", "s_down", "b_down",
           "k_cache", "v_cache", "ks_cache", "vs_cache"]
@@ -272,14 +301,16 @@ def _mmv(h16, w, b_ref, s_ref):
 
 def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                   norm, eps, activation, scale, gated, grouped,
-                  cdtype, kv_quant, hkvg, smax):
+                  cdtype, kv_quant, hkvg, smax, n_experts=0, top_k=0):
     it = iter(refs)
     r = {n: (next(it) if flags[n] else None) for n in _NAMES}
     x_out, k_new, v_new = next(it), next(it), next(it)
     if kv_quant:
         ks_new, vs_new = next(it), next(it)
-    x_res, h_scr, acc_scr, kb, vb = (next(it), next(it), next(it),
-                                     next(it), next(it))
+    moe = n_experts > 0
+    x_res, h_scr, acc_scr = next(it), next(it), next(it)
+    comb_scr = next(it) if moe else None
+    kb, vb = next(it), next(it)
     if kv_quant:
         ksb, vsb = next(it), next(it)
     wbu, wbm, wbv_, wbd = next(it), next(it), next(it), next(it)
@@ -293,7 +324,7 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
     Qg = Hg * D
     KVg = hkvg * D
     hkvp = _pad(hkvg, 8)
-    S = Ka + Km
+    S = Ka + max(n_experts, 1) * Km
     L = pl.num_programs(0)
     ic_edge = I_total - (Km - 1) * ic  # last-chunk width (Km==1 -> I_total)
 
@@ -323,15 +354,17 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                 wbd.at[slot_, pl.ds(0, Qg), :], wsems.at[3, slot_]),
         ]
 
-    def mlp_copies(l_, kk_, slot_, width):
+    def mlp_copies(l_, e_, kk_, slot_, width):
         # w_up / w_gate ride the AUTO pipeline; only w_down streams via the
         # pool. Measured perf-neutral vs all-manual (the step stays
         # HBM-stream-bound either way: pipeline + manual fetches appear to
         # share the same practical ~650-750 GB/s in-kernel ceiling on v5e),
         # but it frees pool VMEM (up/mid buffers shrink to the attention
         # widths), giving the chunk-size search more headroom.
+        # MoE: w_down is the expert-flattened [L*E, I, H] stack.
+        le = l_ * n_experts + e_ if moe else l_
         return [pltpu.make_async_copy(
-            r["w_down"].at[l_, pl.ds(kk_ * ic, width), :],
+            r["w_down"].at[le, pl.ds(kk_ * ic, width), :],
             wbd.at[slot_, pl.ds(0, width), :], wsems.at[3, slot_])]
 
     def start(cps):
@@ -345,7 +378,7 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
     @pl.when(step == 0)  # warm start: fetch the very first phase's weights
     def _():
         start(attn_copies(0, 0, 0) if Ka > 0 else
-              mlp_copies(0, 0, 0, ic if Km > 1 else ic_edge))
+              mlp_copies(0, 0, 0, 0, ic if Km > 1 else ic_edge))
 
     # prefetch the NEXT phase's chunks into the other slot
     last = (layer == L - 1) & (s_idx == S - 1)
@@ -357,13 +390,19 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
     def _():
         start(attn_copies(nxt_l, nxt_s, nslot))
 
-    @pl.when(jnp.logical_not(last) & (nxt_s >= Ka) & (nxt_s < S - 1))
-    def _():
-        start(mlp_copies(nxt_l, nxt_s - Ka, nslot, ic))
+    # next MLP phase's (expert, chunk): each expert's last chunk has the
+    # edge width (Km==1 makes every chunk the edge)
+    nt = jnp.maximum(nxt_s - Ka, 0)
+    ne = nt // Km if moe else jnp.int32(0)
+    nkk = nt - ne * Km
 
-    @pl.when(jnp.logical_not(last) & (nxt_s == S - 1) & (nxt_s >= Ka))
+    @pl.when(jnp.logical_not(last) & (nxt_s >= Ka) & (nkk < Km - 1))
     def _():
-        start(mlp_copies(nxt_l, Km - 1, nslot, ic_edge))
+        start(mlp_copies(nxt_l, ne, nkk, nslot, ic))
+
+    @pl.when(jnp.logical_not(last) & (nxt_s >= Ka) & (nkk == Km - 1))
+    def _():
+        start(mlp_copies(nxt_l, ne, Km - 1, nslot, ic_edge))
 
     @pl.when((layer == 0) & (s_idx == 0))
     def _():
@@ -542,22 +581,49 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
         if r["bo"] is not None:
             x32 = x32 + r["bo"][0].astype(jnp.float32)
         x_res[...] = x32
-        h_scr[...] = _norm(x32, r["ln2_scale"], r["ln2_bias"],
-                           norm, eps).astype(h_scr.dtype)
+        hn16 = _norm(x32, r["ln2_scale"], r["ln2_bias"],
+                     norm, eps).astype(h_scr.dtype)
+        h_scr[...] = hn16
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        if moe:
+            # In-kernel router (twin of ops.moe.router_topk): softmax over
+            # all experts, keep top-k (ties -> lowest index, matching
+            # lax.top_k), renormalize the kept weights. Runs once per layer
+            # on the normed hidden, BEFORE the first expert phase below.
+            wr = r["router"][0].astype(jnp.float32)           # [h, E]
+            logits = jnp.dot(hn16.astype(jnp.float32), wr,
+                             preferred_element_type=jnp.float32)  # [B, E]
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            lane = lax.broadcasted_iota(jnp.int32, p.shape, 1)
+            comb = jnp.zeros_like(p)
+            rem_p = p
+            for _ in range(top_k):
+                mx = jnp.max(rem_p, axis=1, keepdims=True)
+                ismx = rem_p == mx
+                first = jnp.min(
+                    jnp.where(ismx, lane, jnp.int32(2 ** 31 - 1)),
+                    axis=1, keepdims=True)
+                pick = lane == first
+                comb = jnp.where(pick, p, comb)
+                rem_p = jnp.where(pick, NEG_INF, rem_p)
+            comb_scr[...] = comb / jnp.sum(comb, axis=1, keepdims=True)
 
-    # ---- MLP phase: one intermediate chunk ----------------------------------
+    # ---- MLP phase: one (expert,) intermediate chunk ------------------------
     @pl.when(s_idx >= Ka)
     def _mlp():
-        kk = s_idx - Ka
+        t = s_idx - Ka
+        e_idx = t // Km if moe else jnp.int32(0)
+        kk = t - e_idx * Km
 
         @pl.when(kk < Km - 1)
         def _():
-            wait(mlp_copies(layer, kk, slot, ic))
+            wait(mlp_copies(layer, e_idx, kk, slot, ic))
 
         @pl.when(kk == Km - 1)
         def _():
-            wait(mlp_copies(layer, Km - 1, slot, ic_edge))
+            wait(mlp_copies(layer, e_idx, Km - 1, slot, ic_edge))
 
         h16 = h_scr[...]
         u = _mmv(h16, r["w_up"][0], r["b_up"], r["s_up"])       # [B, ic]
@@ -595,10 +661,19 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             d = part if d is None else d + part
         if r["s_down"] is not None:
             d = d * r["s_down"][0].astype(jnp.float32)
+        if moe:
+            # weight this expert's contribution by its per-token combine
+            # weight (0 for tokens not routed here — masked-dense combine;
+            # at decode batch sizes nearly every expert is routed anyway,
+            # so streaming all experts is roofline-neutral)
+            lane_e = lax.broadcasted_iota(jnp.int32, (B, n_experts), 1)
+            w_e = jnp.sum(jnp.where(lane_e == e_idx, comb_scr[...], 0.0),
+                          axis=1, keepdims=True)               # [B, 1]
+            d = d * w_e
         acc_scr[...] = acc_scr[...] + d
 
     # ---- final fold ----------------------------------------------------------
-    @pl.when(s_idx == Ka + Km - 1)
+    @pl.when(s_idx == S - 1)
     def _():
         x32 = x_res[...] + acc_scr[...]
         if r["b_down"] is not None:
@@ -697,13 +772,37 @@ def decode_layer_tiled(
         cosq = sinq = rotq = cosk = sink = rotk = None
 
     bp = blocks
+    E = spec.num_experts or 0
+    moe = E > 0
     wq_, sq_ = wq_pair("wq")
     wk_, sk_ = wq_pair("wk")
     wv_, sv_ = wq_pair("wv")
     wo_, so_ = wq_pair("wo")
-    wu_, su_ = wq_pair("w_up")
-    wg_, sg_ = wq_pair("w_gate") if gated else (None, None)
-    wd_, sd_ = wq_pair("w_down")
+    if moe:
+        # expert stacks flatten [L, E, ...] -> [L*E, ...] so every chunk
+        # index map is a single leading-dim coordinate l*E + e
+        def moe_pair(name):
+            w = blocks.get(name)
+            if w is None:
+                return None, None
+            if isinstance(w, QTensor):
+                assert w.fmt in ("int8", "fp8"), \
+                    "tiled megakernel handles int8/fp8 weight quant only"
+                q = w.q.reshape((L * E,) + w.q.shape[2:])
+                sc = w.scale.astype(jnp.float32).reshape(L * E, 1, -1)
+                return q, sc
+            return w.reshape((L * E,) + w.shape[2:]), None
+
+        wu_, su_ = moe_pair("moe_up")
+        wg_, sg_ = moe_pair("moe_gate") if gated else (None, None)
+        wd_, sd_ = moe_pair("moe_down")
+        assert all(bp.get(n) is None
+                   for n in ("b_up", "b_gate", "b_down")), \
+            "expert-MLP biases unsupported in the tiled MoE decode"
+    else:
+        wu_, su_ = wq_pair("w_up")
+        wg_, sg_ = wq_pair("w_gate") if gated else (None, None)
+        wd_, sd_ = wq_pair("w_down")
     operands = {
         "x": x,
         "cosq": cosq, "sinq": sinq, "cosk": cosk, "sink": sink,
@@ -716,6 +815,7 @@ def decode_layer_tiled(
         "wv": wv_, "sv": sv_, "bv": bp["bv"],
         "wo": wo_, "so": so_, "bo": bp["bo"],
         "ln2_scale": bp["ln2_scale"], "ln2_bias": bp["ln2_bias"],
+        "router": bp.get("router") if moe else None,
         "w_up": wu_, "s_up": su_, "b_up": bp["b_up"],
         "w_gate": wg_, "s_gate": sg_,
         "b_gate": bp["b_gate"] if gated else None,
@@ -739,12 +839,28 @@ def decode_layer_tiled(
             return lambda l, s, *_: (l, 0, jnp.minimum(s, Ka - 1))
         return lambda l, s, *_: (l, jnp.minimum(s, Ka - 1), 0)  # wo rows
 
-    def mmap(which):
-        """Index map for MLP-phase chunked weights."""
-        if which == "col":   # [L, h, I] sliced on dim 2
-            return lambda l, s, *_: (l, 0,
-                                     jnp.clip(s - Ka, 0, Km - 1))
-        return lambda l, s, *_: (l, jnp.clip(s - Ka, 0, Km - 1), 0)
+    if moe:
+        # MLP phase s maps to expert e = (s-Ka)//Km of the [L*E, ...]
+        # flattened stacks, chunk kk = (s-Ka) % Km
+        def _mle(l, s):
+            t = jnp.maximum(s - Ka, 0)
+            return l * E + t // Km
+
+        def _mkk(s):
+            t = jnp.maximum(s - Ka, 0)
+            return t - (t // Km) * Km
+
+        def mmap(which):
+            if which == "col":   # [L*E, h, I] sliced on dim 2
+                return lambda l, s, *_: (_mle(l, s), 0, _mkk(s))
+            return lambda l, s, *_: (_mle(l, s), _mkk(s), 0)
+    else:
+        def mmap(which):
+            """Index map for MLP-phase chunked weights."""
+            if which == "col":   # [L, h, I] sliced on dim 2
+                return lambda l, s, *_: (l, 0,
+                                         jnp.clip(s - Ka, 0, Km - 1))
+            return lambda l, s, *_: (l, jnp.clip(s - Ka, 0, Km - 1), 0)
 
     # Big weights stream via MANUAL DMA from HBM into the shared pool (see
     # _tiled_kernel); only their small scales/biases ride the block pipeline.
@@ -768,7 +884,13 @@ def decode_layer_tiled(
     HBM_STREAMED = {"wq", "wk", "wv", "wo", "w_down",
                     "k_cache", "v_cache", "ks_cache", "vs_cache"}
     PER_LAYER_FULL = {"ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
-                      "so", "bo", "s_down", "b_down"}
+                      "so", "bo", "s_down", "b_down", "router"}
+    if moe:
+        # s_down is per-(layer, expert): ride the chunk pipeline keyed on
+        # the flattened leading dim instead of the per-layer map
+        PER_LAYER_FULL = PER_LAYER_FULL - {"s_down"}
+        CHUNKED["s_down"] = ((1, 1, H),
+                             lambda l, s, *_: (_mle(l, s), 0, 0))
 
     in_specs = []
     args = []
@@ -818,7 +940,7 @@ def decode_layer_tiled(
         I_total=spec.intermediate_size, norm=spec.norm, eps=spec.norm_eps,
         activation=spec.activation, scale=scale, gated=gated,
         grouped=G > 1, cdtype=cdtype, kv_quant=kv_quant, hkvg=hkvg,
-        smax=Smax)
+        smax=Smax, n_experts=E, top_k=spec.num_experts_per_tok if moe else 0)
 
     # shared weight pool: 4 double-buffered scratch buffers reused by the
     # attention and MLP phases (manual DMA; halves the VMEM footprint vs
@@ -840,6 +962,10 @@ def decode_layer_tiled(
         pltpu.VMEM((B, H), jnp.float32),                      # residual
         pltpu.VMEM((B, H), cdtype),                           # normed hidden
         pltpu.VMEM((B, H), jnp.float32),                      # o/mlp accum
+    ]
+    if moe:
+        scratch.append(pltpu.VMEM((B, E), jnp.float32))       # combine wts
+    scratch += [
         pltpu.VMEM((2, B, bs, KVg), k_cache.dtype),           # k dbl-buf
         pltpu.VMEM((2, B, bs, KVg), v_cache.dtype),           # v dbl-buf
     ]
@@ -856,7 +982,7 @@ def decode_layer_tiled(
 
     outs = pl.pallas_call(
         kernel,
-        grid=(L, Ka + Km),
+        grid=(L, Ka + (E if moe else 1) * Km),
         in_specs=[pos_spec] + in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,

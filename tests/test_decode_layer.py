@@ -161,7 +161,8 @@ def test_megakernel_int8_kv_cache_matches_scan(name):
     differences can flip an int8 rounding boundary)."""
     spec = get_spec(name)
     params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
-    B, CACHE = 4, 64
+    # INT8 KV requires a 128-aligned cache (scale-slab lane slicing)
+    B, CACHE = 4, 128
     cache = init_cache(spec, B, CACHE, dtype=jnp.float32, quant="int8")
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, 7), 0,
                              spec.vocab_size)
@@ -194,11 +195,11 @@ def test_generate_int8_kv_mega_routes_and_runs():
     spec = get_spec("llama-tiny")
     params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
     ids = jnp.asarray([[5, 3, 2, 6]], jnp.int32)
-    out_scan = generate(params, spec, ids, max_new_tokens=5,
+    out_scan = generate(params, spec, ids, max_new_tokens=5, cache_len=128,
                         impl=Impl(attention="flash", decode_stack="scan"),
                         cache_quant="int8",
                         method=SamplingMethod(temperature=0.0))
-    out_mega = generate(params, spec, ids, max_new_tokens=5,
+    out_mega = generate(params, spec, ids, max_new_tokens=5, cache_len=128,
                         impl=Impl(attention="flash", decode_stack="mega"),
                         cache_quant="int8",
                         method=SamplingMethod(temperature=0.0))

@@ -116,8 +116,20 @@ def test_tiled_int8_weights_match_scan():
 def test_tiled_int8_kv_cache_matches_scan():
     spec = get_spec("llama-tiny")
     params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
-    # int8 rounding boundaries can flip; allow quantization-noise tolerance
-    _decode_steps(spec, params, n=2, cache_quant="int8", tol=2e-2)
+    # int8 rounding boundaries can flip; allow quantization-noise tolerance.
+    # INT8 KV requires a 128-aligned cache (scale-slab lane slicing).
+    _decode_steps(spec, params, n=2, cache_quant="int8", CACHE=128, tol=2e-2)
+
+
+def test_tiled_int8_kv_rejects_unaligned_cache():
+    """Unaligned cache + int8 KV must raise the clear error (and the auto
+    router must avoid the tiled path entirely for that shape)."""
+    spec = get_spec("llama-tiny")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    assert not supports_decode_tiled(spec, B=2, cache_quant=True,
+                                     blocks=params["blocks"], smax=64)
+    with pytest.raises(ValueError, match="128-aligned"):
+        _decode_steps(spec, params, n=1, cache_quant="int8", CACHE=64)
 
 
 def test_generate_routes_big_model_through_tiled():
@@ -146,16 +158,59 @@ def test_generate_tiled_int8_kv_roundtrip():
     spec = get_spec("llama-tiny")
     params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
     ids = jnp.asarray([[5, 3, 2, 6]], jnp.int32)
-    out_scan = generate(params, spec, ids, max_new_tokens=5,
+    out_scan = generate(params, spec, ids, max_new_tokens=5, cache_len=128,
                         impl=Impl(attention="flash", decode_stack="scan"),
                         cache_quant="int8",
                         method=SamplingMethod(temperature=0.0))
-    out_tiled = generate(params, spec, ids, max_new_tokens=5,
+    out_tiled = generate(params, spec, ids, max_new_tokens=5, cache_len=128,
                          impl=Impl(attention="flash", decode_stack="tiled"),
                          cache_quant="int8",
                          method=SamplingMethod(temperature=0.0))
     agree = np.mean(np.asarray(out_scan) == np.asarray(out_tiled))
     assert agree >= 0.8, (out_scan, out_tiled)
+
+
+def test_tiled_moe_matches_scan_decode():
+    """Fused MoE decode: the tiled kernel's in-kernel router (softmax ->
+    top-k -> renormalize) + masked-dense expert streaming must agree with
+    the per-op scan path (moe_mlp_ragged)."""
+    spec = get_spec("moe-tiny")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    _decode_steps(spec, params, n=3, CACHE=128)
+
+
+def test_tiled_moe_int8_weights_and_kv():
+    from mlio_tpu.runtime.quantization import quantize_params
+
+    spec = get_spec("moe-tiny")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_params(params, spec, "int8")
+    _decode_steps(spec, qparams, n=2, CACHE=128, cache_quant="int8",
+                  tol=3e-2)
+
+
+def test_tiled_moe_generate_roundtrip():
+    spec = get_spec("moe-tiny")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ids = jnp.asarray([[5, 3, 2, 6], [1, 2, 3, 4]], jnp.int32)
+    out_scan = generate(params, spec, ids, max_new_tokens=5, cache_len=128,
+                        impl=Impl(attention="flash", decode_stack="scan"),
+                        method=SamplingMethod(temperature=0.0))
+    out_tiled = generate(params, spec, ids, max_new_tokens=5, cache_len=128,
+                         impl=Impl(attention="flash", decode_stack="tiled"),
+                         method=SamplingMethod(temperature=0.0))
+    assert np.mean(np.asarray(out_scan) == np.asarray(out_tiled)) >= 0.8
+
+
+def test_supports_decode_tiled_moe_geometry():
+    """The moe-13b bench geometry must qualify and pick whole-expert
+    chunks (Km=1): 1 attention + E expert phases per layer."""
+    spec = dataclasses.replace(
+        get_spec("mixtral-8x7b"), name="moe-13b",
+        hidden_size=2048, num_layers=24, num_heads=16, num_kv_heads=4,
+        intermediate_size=5632, vocab_size=32000)
+    t = choose_tiling(spec, 8, 1, 1)
+    assert t is not None and t.km == 1 and t.ic == 5632
 
 
 def test_supports_decode_tiled_gating():
