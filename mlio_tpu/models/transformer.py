@@ -473,7 +473,7 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
             x[:, 0], params["blocks"], ck, cv, cache_pos,
             cs[0], cs[1], spec=spec, k_scales=ks, v_scales=vs,
             tiling=tiling, cache_block=tuned.get("cache_block"),
-            interpret=interp)
+            kv_depth=tuned.get("kv_depth"), interpret=interp)
         h, ck, cv = out[:3]
         if not flat_in:
             ck = ck.reshape(L, B, Smax, Hkv, D)

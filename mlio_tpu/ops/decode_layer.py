@@ -136,7 +136,7 @@ def _quantize_heads(x, Hkv, D, hkv_pad):
 def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
                          norm, eps, activation, scale, gated, grouped,
                          cdtype, kv_quant, Hkv, L, greedy=None,
-                         combined=False, in_place=False):
+                         combined=False, in_place=False, kv_depth=2):
     """One grid step == one transformer layer of the decode step.
 
     With ``greedy`` = (V, Vc, vmajor), grid steps L.. are the fused greedy
@@ -246,27 +246,29 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
             activation=activation, scale=scale, gated=gated,
             grouped=grouped, cdtype=cdtype, kv_quant=kv_quant, Hkv=Hkv,
             L=L, combined=combined, cache_out=cache_out,
-            slab_scr=slab_scr)
+            slab_scr=slab_scr, kv_depth=kv_depth)
 
 
 def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
                        x_res, kb, vb, ksb, vsb, sems, layer, pos, *,
                        B, Hq, D, bs, norm, eps, activation, scale, gated,
                        grouped, cdtype, kv_quant, Hkv, L, combined=False,
-                       cache_out=None, slab_scr=None):
+                       cache_out=None, slab_scr=None, kv_depth=2):
     KVd = Hkv * D
     ctx = pos
     nb = (ctx + bs - 1) // bs
 
-    # Double-buffered cache streaming (bf16 cache): block j+2's K/V DMA is
-    # issued as block j computes, so the KV read (the dominant per-layer
-    # HBM traffic) is never serialized with the score/PV dots. The first
-    # two block DMAs start HERE — before the norm/QKV projections — so
-    # their transfer+latency hides under ~20us of projection compute
-    # instead of stalling the scan prologue. With an INT8 cache the block
-    # DMAs are half the bytes and the single-buffer path measures faster,
-    # so kv_quant keeps one buffer issued in-loop.
-    dbuf = not kv_quant
+    # kv_depth-deep cache streaming: block j+depth's K/V DMA is issued as
+    # block j computes, so the KV read (the dominant per-layer HBM traffic)
+    # is never serialized with the score/PV dots. The prewarm DMAs start
+    # HERE — before the norm/QKV projections — so their transfer+latency
+    # hides under ~20us of projection compute instead of stalling the scan
+    # prologue. Depth 3 measures ~765 GB/s vs depth 2's ~650 GB/s at these
+    # block sizes (dma_bench.py: double buffering leaves the queue dry
+    # between wait and refill; a third slot keeps it saturated). With an
+    # INT8 cache the block DMAs are half the bytes and depth 1 (issue
+    # in-loop) measured faster than 2 — depth stays a tunable.
+    dbuf = kv_depth >= 2
 
     def kv_copies(j, slot):
         if combined:  # k|v share lanes of one buffer: ONE DMA per block
@@ -278,20 +280,16 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
             sems.at[slot])
         vr = pltpu.make_async_copy(
             r["v_cache"].at[layer, :, pl.ds(j * bs, bs)], vb.at[slot],
-            sems.at[2 + slot])
+            sems.at[kv_depth + slot])
         return kr, vr
 
     if dbuf:
-        @pl.when(nb > 0)
-        def _():
-            for c in kv_copies(0, 0):
-                c.start()
-
-        if r["k_cache"].shape[2] >= 2 * bs:  # block 1 exists statically
-            @pl.when(nb > 1)
-            def _():
-                for c in kv_copies(1, 1):
-                    c.start()
+        for d in range(kv_depth):
+            if r["k_cache"].shape[2] >= (d + 1) * bs:  # block exists
+                @pl.when(nb > d)
+                def _(d=d):
+                    for c in kv_copies(d, d):
+                        c.start()
 
     x32 = x_res[...]
     h16 = _norm(x32, r["ln1_scale"], r["ln1_bias"], norm, eps).astype(cdtype)
@@ -327,11 +325,11 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
         def _():
             pltpu.make_async_copy(
                 slab_scr, cache_out.at[layer - 1, :, pl.ds(pos_al, 8)],
-                sems.at[5]).wait()
+                sems.at[2 * kv_depth + 1]).wait()
 
         slab_rd = pltpu.make_async_copy(
             r["k_cache"].at[layer, :, pl.ds(pos_al, 8)], slab_scr,
-            sems.at[4])
+            sems.at[2 * kv_depth])
         slab_rd.start()
     if kv_quant:
         # quantize like the cache stores it and attend with the DEQUANTIZED
@@ -413,8 +411,10 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
         # Scale caches ride TRANSPOSED [L, B, Hkv, Smax] for the mega path
         # (a [.., Smax, Hkv] layout has a sub-128 minor dim, which Mosaic
         # cannot DMA-slice); the whole layer slab is tiny, fetch it once.
-        ksd = pltpu.make_async_copy(r["ks_cache"].at[layer], ksb, sems.at[4])
-        vsd = pltpu.make_async_copy(r["vs_cache"].at[layer], vsb, sems.at[5])
+        ksd = pltpu.make_async_copy(r["ks_cache"].at[layer], ksb,
+                                    sems.at[2 * kv_depth])
+        vsd = pltpu.make_async_copy(r["vs_cache"].at[layer], vsb,
+                                    sems.at[2 * kv_depth + 1])
         ksd.start()
         vsd.start()
         ksd.wait()
@@ -423,7 +423,7 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
     def block(j, carry):
         m, l, acc = carry
         if dbuf:
-            slot = lax.rem(j, 2)
+            slot = lax.rem(j, kv_depth)
             for c in kv_copies(j, slot):
                 c.wait()
         else:
@@ -454,9 +454,9 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
         if dbuf:
             # refill the slot just consumed — after the score/PV dots have
             # read it (in-order vector issue makes the overwrite safe)
-            @pl.when(j + 2 < nb)
+            @pl.when(j + kv_depth < nb)
             def _():
-                for c in kv_copies(j + 2, slot):
+                for c in kv_copies(j + kv_depth, slot):
                     c.start()
         return out
 
@@ -482,7 +482,8 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
                              slab_scr[...].astype(jnp.float32))
         slab_scr[...] = slab_new.astype(slab_scr.dtype)
         slab_wr = pltpu.make_async_copy(
-            slab_scr, cache_out.at[layer, :, pl.ds(pos_al, 8)], sems.at[5])
+            slab_scr, cache_out.at[layer, :, pl.ds(pos_al, 8)],
+            sems.at[2 * kv_depth + 1])
         slab_wr.start()
 
         # deferred: layers 0..L-2 are awaited by the NEXT layer's read
@@ -523,7 +524,7 @@ def decode_vmem_bytes(spec, B: int, bs: int, weight_itemsize: int = 2,
     gated = spec.activation in ("swiglu", "geglu")
     per_layer = (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
                  + (3 if gated else 2) * h * i) * weight_itemsize
-    attn = 4 * B * bs * _pad(spec.kv_dim, 128) * cache_itemsize  # 2x dbl-buf
+    attn = 6 * B * bs * _pad(spec.kv_dim, 128) * cache_itemsize  # depth-3 k+v
     # fp32 block temps: ks/vs/pexp/vfull at [B, bs, Qd]
     temps = 4 * B * bs * _pad(spec.q_dim, 128) * 4
     x_scr = B * _pad(h, 128) * 4
@@ -644,6 +645,7 @@ def decode_layer_stack(
     cache_block: Optional[int] = None,     # KV scan block (tokens/DMA)
     pos_embed: Optional[jax.Array] = None,  # [Smax_pos, H] learned positions
     kv_combined: bool = False,             # k|v packed on lanes of k_cache
+    kv_depth: Optional[int] = None,        # KV stream buffer depth (None=auto)
 ):
     """Run all layers of one decode step in a single Pallas kernel.
 
@@ -703,6 +705,11 @@ def decode_layer_stack(
         bs = 128
     gated = spec.activation in ("swiglu", "geglu")
     kv_quant = k_scales is not None
+    # KV stream depth: 3-deep buffering measures ~765 GB/s vs double
+    # buffering's ~650 at these block sizes (dma_bench.py); int8 caches
+    # measured fastest single-buffered (half the bytes, in-loop issue).
+    if kv_depth is None:
+        kv_depth = 1 if kv_quant else 3
     cdtype = x.dtype  # compute dtype (weights may be int8 QTensors)
     wdtype = cdtype
 
@@ -888,19 +895,20 @@ def decode_layer_stack(
         norm=spec.norm, eps=spec.norm_eps, activation=spec.activation,
         scale=scale, gated=gated, grouped=G > 1, cdtype=cdtype,
         kv_quant=kv_quant, Hkv=Hkv, L=L, greedy=greedy,
-        combined=kv_combined, in_place=in_place)
+        combined=kv_combined, in_place=in_place, kv_depth=kv_depth)
 
     # pos rides in SMEM as a (1,1) operand — scalar PREFETCH measurably
     # halves pipeline throughput here and no index map needs pos, so a
     # plain grid + SMEM scalar is the right shape.
     pos_spec = pl.BlockSpec((1, 1), lambda l, *_: (0, 0),
                             memory_space=pltpu.SMEM)
+    nbuf = max(kv_depth, 1)
     scratch = [pltpu.VMEM((B, H), jnp.float32)]               # residual
     if kv_combined:
-        scratch.append(pltpu.VMEM((2, B, bs, 2 * KVd), kc.dtype))  # kv dbuf
+        scratch.append(pltpu.VMEM((nbuf, B, bs, 2 * KVd), kc.dtype))
     else:
-        scratch += [pltpu.VMEM((2, B, bs, KVd), kc.dtype),    # k dbl-buffer
-                    pltpu.VMEM((2, B, bs, KVd), vc.dtype)]    # v dbl-buffer
+        scratch += [pltpu.VMEM((nbuf, B, bs, KVd), kc.dtype),  # k buffers
+                    pltpu.VMEM((nbuf, B, bs, KVd), vc.dtype)]  # v buffers
     if kv_quant:
         scratch += [pltpu.VMEM((B, _pad(Hkv, 8), Smax), jnp.float32)] * 2
     if in_place:
@@ -911,7 +919,8 @@ def decode_layer_stack(
                     pltpu.VMEM((B, 1), jnp.int32)]       # running argmax
     if pos_embed is not None:
         scratch.append(pltpu.VMEM((8, H), pos_embed.dtype))  # pe slab
-    n_sems = ((6 if kv_quant else 4) + (2 if in_place else 0)
+    n_sems = (2 * max(kv_depth, 2) + (2 if kv_quant else 0)
+              + (2 if in_place else 0)
               + (1 if pos_embed is not None else 0))
     scratch.append(pltpu.SemaphoreType.DMA((n_sems,)))
 

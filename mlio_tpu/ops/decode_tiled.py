@@ -135,7 +135,7 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
             # cache lane slices must be 128-aligned (ka==1 slices full width)
             continue
         Qg, KVg = hg * D, hkvg * D
-        cache_bufs = 2 * 2 * B * 128 * KVg * cache_itemsize  # dbl-buf
+        cache_bufs = 3 * 2 * B * 128 * KVg * cache_itemsize  # depth-3 k+v
         room = vmem_budget - cache_bufs - scratch
         reserve = 1.5 if fp8 else 1.0  # dequant-cast spill headroom
 
@@ -301,7 +301,8 @@ def _mmv(h16, w, b_ref, s_ref):
 
 def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                   norm, eps, activation, scale, gated, grouped,
-                  cdtype, kv_quant, hkvg, smax, n_experts=0, top_k=0):
+                  cdtype, kv_quant, hkvg, smax, n_experts=0, top_k=0,
+                  kv_depth=2):
     it = iter(refs)
     r = {n: (next(it) if flags[n] else None) for n in _NAMES}
     x_out, k_new, v_new = next(it), next(it), next(it)
@@ -429,21 +430,19 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             vr = pltpu.make_async_copy(
                 r["v_cache"].at[layer, :, pl.ds(j * bs, bs),
                                 pl.ds(g * KVg, KVg)], vb.at[slot],
-                sems.at[2 + slot])
+                sems.at[kv_depth + slot])
             return kr, vr
 
         # KV block prefetch starts BEFORE the weight-chunk wait and the
-        # q/k/v projections, hiding the first transfers under compute
-        @pl.when(nb > 0)
-        def _():
-            for c in kv_copies(0, 0):
-                c.start()
-
-        if smax >= 2 * bs:  # block 1 exists statically
-            @pl.when(nb > 1)
-            def _():
-                for c in kv_copies(1, 1):
-                    c.start()
+        # q/k/v projections, hiding the first transfers under compute;
+        # kv_depth-deep buffering (depth 3 ~765 GB/s vs double buffering's
+        # ~650 at these block sizes, dma_bench.py)
+        for dd in range(kv_depth):
+            if smax >= (dd + 1) * bs:  # block exists statically
+                @pl.when(nb > dd)
+                def _(dd=dd):
+                    for c in kv_copies(dd, dd):
+                        c.start()
 
         wait(attn_copies(layer, g, slot))
         h16 = h_scr[...]
@@ -523,9 +522,9 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
 
         if kv_quant:
             ksd = pltpu.make_async_copy(r["ks_cache"].at[layer, :, g], ksb,
-                                        sems.at[4])
+                                        sems.at[2 * kv_depth])
             vsd = pltpu.make_async_copy(r["vs_cache"].at[layer, :, g], vsb,
-                                        sems.at[5])
+                                        sems.at[2 * kv_depth + 1])
             ksd.start()
             vsd.start()
             ksd.wait()
@@ -533,7 +532,7 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
 
         def block(j, carry):
             m, l, acc = carry
-            slot = lax.rem(j, 2)
+            slot = lax.rem(j, kv_depth)
             kr, vr = kv_copies(j, slot)
             kr.wait()
             vr.wait()
@@ -549,9 +548,9 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             vals = vb[slot].astype(bf) if kv_quant else vb[slot]
             out = softmax_update(s, m, l, acc, vals, p_fold)
             # refill the slot just consumed (reads above are complete)
-            @pl.when(j + 2 < nb)
+            @pl.when(j + kv_depth < nb)
             def _():
-                for c in kv_copies(j + 2, slot):
+                for c in kv_copies(j + kv_depth, slot):
                     c.start()
             return out
 
@@ -700,6 +699,7 @@ def decode_layer_tiled(
     scale: Optional[float] = None,
     tiling: Optional[Tiling] = None,
     cache_block: Optional[int] = None,
+    kv_depth: Optional[int] = None,
     interpret: bool = False,
 ):
     """One decode step for ALL layers with weight-chunk streaming.
@@ -739,6 +739,8 @@ def decode_layer_tiled(
                 f"(cache_len={Smax}); pad the cache to a multiple of 128 "
                 f"or use the per-op decode path")
         bs = 128
+    if kv_depth is None:
+        kv_depth = 3  # dma_bench.py: depth 3 saturates where 2 leaves gaps
     wdtype = cdtype
 
     def wq_pair(name):
@@ -940,7 +942,8 @@ def decode_layer_tiled(
         I_total=spec.intermediate_size, norm=spec.norm, eps=spec.norm_eps,
         activation=spec.activation, scale=scale, gated=gated,
         grouped=G > 1, cdtype=cdtype, kv_quant=kv_quant, hkvg=hkvg,
-        smax=Smax, n_experts=E, top_k=spec.num_experts_per_tok if moe else 0)
+        smax=Smax, n_experts=E, top_k=spec.num_experts_per_tok if moe else 0,
+        kv_depth=kv_depth)
 
     # shared weight pool: 4 double-buffered scratch buffers reused by the
     # attention and MLP phases (manual DMA; halves the VMEM footprint vs
@@ -966,8 +969,8 @@ def decode_layer_tiled(
     if moe:
         scratch.append(pltpu.VMEM((B, E), jnp.float32))       # combine wts
     scratch += [
-        pltpu.VMEM((2, B, bs, KVg), k_cache.dtype),           # k dbl-buf
-        pltpu.VMEM((2, B, bs, KVg), v_cache.dtype),           # v dbl-buf
+        pltpu.VMEM((kv_depth, B, bs, KVg), k_cache.dtype),    # k buffers
+        pltpu.VMEM((kv_depth, B, bs, KVg), v_cache.dtype),    # v buffers
     ]
     if kv_quant:
         scratch += [pltpu.VMEM((B, hkvp, Smax), jnp.float32)] * 2
@@ -978,7 +981,8 @@ def decode_layer_tiled(
         pltpu.VMEM((2, cdn, H), wdt),                         # wo / w_down
         pltpu.SemaphoreType.DMA((4, 2)),                      # weight sems (buffer, slot)
     ]
-    scratch.append(pltpu.SemaphoreType.DMA((6 if kv_quant else 4,)))
+    scratch.append(pltpu.SemaphoreType.DMA(
+        (2 * kv_depth + (2 if kv_quant else 0),)))
 
     outs = pl.pallas_call(
         kernel,

@@ -73,21 +73,48 @@ def quantize_int8(w: jax.Array) -> QTensor:
     return QTensor(q, scale.astype(jnp.float32), "int8")
 
 
-def quantize_int4(w: jax.Array) -> QTensor:
-    """Symmetric per-output-channel INT4, packed 2 values/byte along K.
+def int4_group_size(K: int, group_size: int = 128) -> Optional[int]:
+    """Largest power-of-two group <= group_size that aligns with the halves
+    packing (groups must not straddle the lo/hi nibble boundary at K/2).
+    None -> no viable grouping (fall back to per-channel)."""
+    g = group_size
+    while g >= 16:
+        if (K // 2) % g == 0:
+            return g
+        g //= 2
+    return None
+
+
+def quantize_int4(w: jax.Array, group_size: Optional[int] = 128) -> QTensor:
+    """Symmetric INT4, packed 2 values/byte along K, with GROUP-WISE scales
+    (g input rows share one scale per output channel — the outlier-
+    suppression mechanism per-channel int4 lacks; rel-ppl at 7B geometry
+    measured -4.7% per-channel vs <1% grouped). ``group_size=None`` keeps
+    the per-output-channel layout (scale [N]); otherwise scale is
+    [K//g, N] and the matmul kernel rescales each group's partial sum.
 
     Packing pairs row i with row i + K/2 (byte i = q[i] in the low nibble,
     q[i + K/2] in the high nibble). This "halves" layout lets the matmul
     kernel dequantize with two contiguous dots — no interleave, which TPU
-    vector units can't do cheaply. (Parity intent: bitsandbytes NF4 path,
-    inference.py:508-519, rebuilt as plain symmetric int4.)
+    vector units can't do cheaply. Group boundaries always align with the
+    halves split (int4_group_size). (Parity intent: bitsandbytes NF4 path,
+    inference.py:508-519 — NF4's accuracy comes from its 64-element
+    blockwise scales, rebuilt here as power-of-two group scales.)
     """
     K, N = w.shape
     assert K % 2 == 0, "int4 packing requires even in_features"
     wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=0)
-    scale = jnp.where(amax == 0, 1.0, amax / 7.0)
-    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)  # [-7, 7]
+    g = int4_group_size(K, group_size) if group_size else None
+    if g is None:
+        amax = jnp.max(jnp.abs(wf), axis=0)
+        scale = jnp.where(amax == 0, 1.0, amax / 7.0)  # [N]
+        q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    else:
+        wg = wf.reshape(K // g, g, N)
+        amax = jnp.max(jnp.abs(wg), axis=1)  # [K//g, N]
+        scale = jnp.where(amax == 0, 1.0, amax / 7.0)
+        q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+        q = q.reshape(K, N).astype(jnp.int8)
     lo = q[: K // 2] & 0x0F
     hi = (q[K // 2 :] & 0x0F) << 4
     packed = (lo | hi).astype(jnp.int8)  # [K//2, N]
@@ -128,10 +155,14 @@ def dequantize(t: QTensor, dtype=jnp.float32) -> jax.Array:
 
     Handles batched weight stacks ([L, K, N] / MoE [L, E, K, N]) whose
     per-output-channel scale dropped the contracting axis: the scale gets a
-    broadcast axis re-inserted before the last dim."""
+    broadcast axis re-inserted before the last dim. Group-wise int4 scales
+    ([.., K//g, N], same rank as q) are repeated to row granularity."""
     q = unpack_int4(t.q) if t.fmt == "int4" else t.q
     scale = t.scale.astype(jnp.float32)
-    if scale.ndim == q.ndim - 1 and scale.ndim >= 1:
+    if t.fmt == "int4" and scale.ndim == q.ndim:
+        # group-wise scales [.., K//g, N] -> repeat to row granularity
+        scale = jnp.repeat(scale, q.shape[-2] // scale.shape[-2], axis=-2)
+    elif scale.ndim == q.ndim - 1 and scale.ndim >= 1:
         scale = scale[..., None, :]
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
@@ -182,6 +213,37 @@ def _int4_matmul_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref, *,
         o_ref[0] = (acc_ref[:] * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _int4_group_matmul_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,
+                              o_ref, acc_ref, *, n_k, gpb, gsz):
+    """Group-wise-scale int4 matmul: each block holds ``gpb`` groups of
+    ``gsz`` rows; every group's partial dot is rescaled by its own
+    [1, bn] scale row before accumulation (lo and hi nibble halves carry
+    independent group scales)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xl = xlo_ref[0]
+    xh = xhi_ref[0]
+    lo, hi = _nibbles(w_ref[0])
+    for gi in range(gpb):
+        sl = slice(gi * gsz, (gi + 1) * gsz)
+        pl_ = lax.dot_general(xl[:, sl], lo[sl].astype(xl.dtype),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        ph_ = lax.dot_general(xh[:, sl], hi[sl].astype(xh.dtype),
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        acc_ref[:] += (pl_ * slo_ref[0, gi].astype(jnp.float32)
+                       + ph_ * shi_ref[0, gi].astype(jnp.float32))
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -217,33 +279,59 @@ def quant_matmul(
 
     if fmt == "int4":
         # Halves packing needs K/2 split into lane-aligned blocks; fall back
-        # to an XLA dequant matmul for exotic K.
+        # to an XLA dequant matmul for exotic K. Group-wise scales
+        # ([K//g, N], quantize_int4 group_size) use the per-group kernel.
+        grouped = scale.ndim == 2
+        g = K // scale.shape[0] if grouped else 0
         Kh = K // 2
         bkp = 0
         for cand in (block_k, 384, 256, 128):
-            if cand <= Kh and Kh % cand == 0:
+            if (cand <= Kh and Kh % cand == 0
+                    and (not grouped or cand % g == 0)):
                 bkp = cand
                 break
         if bkp == 0:
-            return (x @ (unpack_int4(q).astype(jnp.float32)
-                         * scale).astype(x.dtype))
+            wd = unpack_int4(q).astype(jnp.float32)
+            sc = jnp.repeat(scale, g, axis=0) if grouped else scale
+            return (x @ (wd * sc).astype(x.dtype)).reshape(
+                orig_shape[:-1] + (N,))
         n_k = Kh // bkp
         if m_pad != M:
             x2 = jnp.pad(x2, ((0, m_pad - M), (0, 0)))
         if n_pad != N:
             q = jnp.pad(q, ((0, 0), (0, n_pad - N)))
-            scale = jnp.pad(scale, ((0, n_pad - N),))
-        kernel = functools.partial(_int4_matmul_kernel, n_k=n_k)
-        out = pl.pallas_call(
-            kernel,
-            grid=(n_m, n_n, n_k),
-            in_specs=[
+            scale = jnp.pad(scale, ((0, 0),) * (scale.ndim - 1)
+                            + ((0, n_pad - N),))
+        if grouped:
+            gpb = bkp // g
+            kernel = functools.partial(_int4_group_matmul_kernel, n_k=n_k,
+                                       gpb=gpb, gsz=g)
+            in_specs = [
+                pl.BlockSpec((1, bm, bkp), lambda m, n, k: (0, m, k)),
+                pl.BlockSpec((1, bm, bkp),
+                             lambda m, n, k: (0, m, k + n_k)),
+                pl.BlockSpec((1, bkp, bn), lambda m, n, k: (0, k, n)),
+                pl.BlockSpec((1, gpb, bn), lambda m, n, k: (0, k, n)),
+                pl.BlockSpec((1, gpb, bn),
+                             lambda m, n, k: (0, k + n_k, n)),
+            ]
+            args = (x2[None], x2[None], q[None],
+                    scale[None], scale[None])
+        else:
+            kernel = functools.partial(_int4_matmul_kernel, n_k=n_k)
+            in_specs = [
                 pl.BlockSpec((1, bm, bkp), lambda m, n, k: (0, m, k)),
                 pl.BlockSpec((1, bm, bkp),
                              lambda m, n, k: (0, m, k + n_k)),
                 pl.BlockSpec((1, bkp, bn), lambda m, n, k: (0, k, n)),
                 pl.BlockSpec((1, 1, bn), lambda m, n, k: (0, 0, n)),
-            ],
+            ]
+            args = (x2[None], x2[None], q[None],
+                    scale.reshape(1, 1, n_pad))
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_m, n_n, n_k),
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, bm, bn), lambda m, n, k: (0, m, n)),
             out_shape=jax.ShapeDtypeStruct((1, m_pad, n_pad), x.dtype),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
@@ -256,7 +344,7 @@ def quant_matmul(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(x2[None], x2[None], q[None], scale.reshape(1, 1, n_pad))
+        )(*args)
         return out[0, :M, :N].reshape(orig_shape[:-1] + (N,))
 
     if M <= 32:

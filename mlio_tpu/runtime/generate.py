@@ -167,6 +167,7 @@ def _generate_impl(
                 lm_head=lm_w, lm_head_bias=params.get("lm_head_bias"),
                 lm_vmajor=lm_vmajor, vocab_chunk=lm_Vc, vocab_size=lm_V,
                 cache_block=cache_block, kv_combined=kv_combined,
+                kv_depth=tuned.get("kv_depth"),
                 pos_embed=params["pos_embed"] if pe_in_kernel else None)
             if kv_combined:
                 new_cache = {"kv": out[1], "pos": pos + 1}

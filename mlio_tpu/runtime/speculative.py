@@ -179,10 +179,12 @@ def _accept(draft_toks, q, p, rng, greedy):
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "draft_spec", "impl", "draft_impl", "gamma",
-                     "max_new_tokens", "cache_len", "method", "ngram_window"))
+                     "max_new_tokens", "cache_len", "method", "ngram_window",
+                     "draft_accept"))
 def _speculative_impl(params, spec, input_ids, rng, draft_params, draft_spec,
-                      *, impl, draft_impl, gamma, max_new_tokens, cache_len,
-                      method, ngram_window):
+                      oracle=None, *, impl, draft_impl, gamma,
+                      max_new_tokens, cache_len, method, ngram_window,
+                      draft_accept=1.0):
     B, S = input_ids.shape
     V = spec.vocab_size
     greedy = method.temperature == 0.0
@@ -216,7 +218,19 @@ def _speculative_impl(params, spec, input_ids, rng, draft_params, draft_spec,
         cur = jax.lax.dynamic_slice_in_dim(buf, S + done - 1, 1, axis=1)[:, 0]
 
         # ---- draft gamma tokens ----
-        if use_model_draft:
+        if oracle is not None:
+            # external draft stream (retrieval / cache / recorded tokens):
+            # propose oracle[done .. done+gamma-1], optionally corrupted
+            # with rate 1-draft_accept for acceptance-controlled runs
+            d_toks = jax.lax.dynamic_slice_in_dim(oracle, done, gamma,
+                                                  axis=1)
+            if draft_accept < 1.0:
+                flip = jax.random.uniform(r_draft, d_toks.shape) \
+                    >= draft_accept
+                d_toks = jnp.where(flip, (d_toks + 1) % V, d_toks)
+            q = jax.nn.one_hot(d_toks, V, dtype=jnp.float32)
+            new_dcache = dcache
+        elif use_model_draft:
             d_toks, q, new_dcache = _draft_with_model(
                 draft_params, draft_spec, draft_impl, dcache, cur, gamma,
                 r_draft, method)
@@ -285,13 +299,20 @@ def speculative_generate(
     rng: Optional[jax.Array] = None,
     cache_len: Optional[int] = None,
     ngram_window: int = 64,
+    draft_tokens: Optional[jax.Array] = None,
+    draft_accept: float = 1.0,
     return_stats: bool = False,
 ):
     """Generate with speculative decoding. Exact w.r.t. the target model.
 
     With ``draft_params``/``draft_spec``: classic two-model speculation.
-    Without: n-gram prompt-lookup drafting (free — no second model), which
-    shines on inputs with repetition (code, extraction, summarization).
+    With ``draft_tokens`` [B, >=max_new_tokens]: an EXTERNAL draft stream
+    (retrieval hits, an earlier cached response, a host-side heuristic) —
+    round j proposes draft_tokens[:, done:done+gamma]; ``draft_accept`` < 1
+    corrupts each proposal with rate 1-draft_accept (acceptance-controlled
+    benchmarking of the speculation machinery). Otherwise: n-gram
+    prompt-lookup drafting (free — no second model), which shines on inputs
+    with repetition (code, extraction, summarization).
 
     Returns [B, S + max_new_tokens] ids (plus rounds-executed if
     ``return_stats`` — tokens/round = acceptance-rate diagnostic).
@@ -308,11 +329,21 @@ def speculative_generate(
     assert S + max_new_tokens + gamma + 1 <= cache_len, (
         "cache too small: speculation needs gamma+1 slack beyond the output")
     assert (draft_params is None) == (draft_spec is None)
+    oracle = None
+    if draft_tokens is not None:
+        assert draft_params is None, \
+            "draft_tokens and a draft model are mutually exclusive"
+        # pad with edge-repeat so round windows never run off the end
+        oracle = jnp.asarray(draft_tokens, jnp.int32)
+        pad = max_new_tokens + gamma + 1 - oracle.shape[1]
+        if pad > 0:
+            oracle = jnp.concatenate(
+                [oracle, jnp.repeat(oracle[:, -1:], pad, axis=1)], axis=1)
     out, rounds = _speculative_impl(
-        params, spec, input_ids, rng, draft_params, draft_spec,
+        params, spec, input_ids, rng, draft_params, draft_spec, oracle,
         impl=impl, draft_impl=draft_impl, gamma=gamma,
         max_new_tokens=max_new_tokens, cache_len=cache_len, method=method,
-        ngram_window=ngram_window)
+        ngram_window=ngram_window, draft_accept=draft_accept)
     if return_stats:
         return out, {"rounds": int(rounds),
                      "tokens_per_round": max_new_tokens / max(int(rounds), 1)}

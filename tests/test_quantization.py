@@ -32,13 +32,37 @@ def test_int8_roundtrip_error():
 
 def test_int4_pack_unpack_exact():
     w = jax.random.normal(jax.random.PRNGKey(1), (32, 48))
-    t = quantize_int4(w)
-    assert t.q.shape == (16, 48)
+    # per-channel layout (group_size=None)
+    t = quantize_int4(w, group_size=None)
+    assert t.q.shape == (16, 48) and t.scale.shape == (48,)
     unpacked = np.asarray(unpack_int4(t.q))
     assert unpacked.min() >= -7 and unpacked.max() <= 7
     # re-deriving q from dequant must round-trip exactly
     q_direct = np.clip(np.round(np.asarray(w) / np.asarray(t.scale)), -7, 7)
     np.testing.assert_array_equal(unpacked, q_direct.astype(np.int8))
+    # group-wise layout (the default): scale [K//g, N], rows of a group
+    # share one scale per output channel
+    tg = quantize_int4(w)
+    g = 32 // tg.scale.shape[0]
+    assert tg.scale.shape == (32 // g, 48)
+    sc = np.repeat(np.asarray(tg.scale), g, axis=0)
+    q_direct = np.clip(np.round(np.asarray(w) / sc), -7, 7)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(tg.q)),
+                                  q_direct.astype(np.int8))
+
+
+def test_int4_group_scales_beat_per_channel_on_outliers():
+    """Group-wise int4 (the default) must track an outlier-heavy weight
+    better than per-channel scales (VERDICT r3 #6: -4.7% rel ppl at 7B
+    geometry with per-channel int4)."""
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(512, 128)).astype(np.float32)
+    w[100:104, :] *= 25.0  # outlier rows inflate per-channel scales
+    wj = jnp.asarray(w)
+    err_pc = float(jnp.mean(jnp.abs(
+        dequantize(quantize_int4(wj, group_size=None)) - wj)))
+    err_g = float(jnp.mean(jnp.abs(dequantize(quantize_int4(wj)) - wj)))
+    assert err_g < 0.5 * err_pc, (err_g, err_pc)
 
 
 @pytest.mark.parametrize("fmt", ["int8", "int4"])

@@ -127,3 +127,25 @@ def test_probabilities_matches_sample_filtering():
     p = probabilities(logits, m)
     np.testing.assert_allclose(np.asarray(p.sum(-1)), 1.0, rtol=1e-5)
     assert int((np.asarray(p) > 0).sum(-1).max()) <= 5
+
+
+@pytest.mark.parametrize("accept", [1.0, 0.5])
+def test_external_draft_stream_exact_and_counts_rounds(target, accept):
+    """draft_tokens (the external/retrieval draft interface): feeding the
+    vanilla continuation back as the draft must (a) stay exact at any
+    corruption rate and (b) at accept=1.0 commit gamma+1 tokens/round."""
+    spec, params = target
+    ids = jnp.asarray(
+        np.random.default_rng(3).integers(0, spec.vocab_size, (2, 10)))
+    NEW, GAMMA = 14, 4
+    ref = greedy_generate(params, spec, ids, max_new_tokens=NEW)
+    oracle = ref[:, ids.shape[1]:].astype(jnp.int32)
+    out, st = speculative_generate(
+        params, spec, ids, draft_tokens=oracle, draft_accept=accept,
+        gamma=GAMMA, max_new_tokens=NEW, return_stats=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    if accept == 1.0:
+        # perfect drafts: ceil((NEW-1)/(gamma+1)) rounds
+        assert st["rounds"] == -(-(NEW - 1) // (GAMMA + 1)), st
+    else:
+        assert st["rounds"] <= NEW, st
