@@ -1,6 +1,7 @@
 from mlio_tpu.benchmarks.scenarios.latency_tests import (
     first_token_latency_test,
     latency_under_load,
+    latency_under_offered_load,
     standard_latency_test,
     tail_latency_test,
 )
@@ -14,6 +15,7 @@ from mlio_tpu.benchmarks.scenarios.throughput_tests import (
 __all__ = [
     "first_token_latency_test",
     "latency_under_load",
+    "latency_under_offered_load",
     "standard_latency_test",
     "tail_latency_test",
     "batch_scaling_test",

@@ -91,6 +91,73 @@ def latency_under_load(spec: ModelSpec, params, *, seq_len: int = 64,
             **M.latency_percentiles(latencies)}
 
 
+def latency_under_offered_load(spec: ModelSpec, params, *,
+                               seq_len: int = 64,
+                               arrival_rates: Sequence[float] = (
+                                   2.0, 5.0, 10.0, 20.0),
+                               duration_s: float = 3.0,
+                               num_workers: int = 4,
+                               impl: Impl = Impl()) -> Dict[str, Any]:
+    """Open-loop arrival-rate sweep: requests arrive on a Poisson-ish clock
+    at each offered rate (req/s) and latency is measured ARRIVAL-to-finish,
+    so queueing delay shows up in the percentiles — the load-shape
+    dimension of the reference's under-load scenario
+    (parity: latency_tests.py:190-316's request-rate parameterization).
+
+    Returns per-rate p50/p99 + achieved throughput; saturation is visible
+    as achieved < offered with exploding tails."""
+    fn = _forward_fn(spec, impl)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (1, seq_len), 0,
+                             spec.vocab_size)
+    _ = np.asarray(fn(params, ids))  # compile once
+
+    sweep: List[Dict[str, Any]] = []
+    rng = np.random.default_rng(0)
+    for rate in arrival_rates:
+        n = max(4, int(rate * duration_s))
+        # open-loop arrival clock: exponential inter-arrival gaps
+        gaps = rng.exponential(1.0 / rate, size=n)
+        arrivals = np.cumsum(gaps)
+        q: "queue.Queue[float]" = queue.Queue()
+        latencies: List[float] = []
+        lock = threading.Lock()
+        t0 = time.perf_counter()
+
+        def submitter():
+            for a in arrivals:
+                now = time.perf_counter() - t0
+                if a > now:
+                    time.sleep(a - now)
+                q.put(time.perf_counter())
+            for _ in range(num_workers):
+                q.put(-1.0)  # poison pills
+
+        def worker():
+            while True:
+                t_arr = q.get()
+                if t_arr < 0:
+                    return
+                _ = np.asarray(fn(params, ids))
+                dt = time.perf_counter() - t_arr
+                with lock:
+                    latencies.append(dt)
+
+        threads = ([threading.Thread(target=submitter)]
+                   + [threading.Thread(target=worker)
+                      for _ in range(num_workers)])
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        pct = M.latency_percentiles(latencies)
+        sweep.append({"offered_rps": rate, "achieved_rps": n / wall,
+                      "p50_ms": pct["p50_ms"], "p99_ms": pct["p99_ms"],
+                      "mean_ms": pct["mean_ms"], "n": n})
+    return {"scenario": "latency_under_offered_load", "seq_len": seq_len,
+            "num_workers": num_workers, "sweep": sweep}
+
+
 def first_token_latency_test(spec: ModelSpec, params, *, prompt_len: int = 128,
                              iters: int = 5, impl: Impl = Impl()
                              ) -> Dict[str, Any]:

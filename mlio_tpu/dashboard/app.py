@@ -210,6 +210,12 @@ class Dashboard:
         if tps:
             charts.append(viz.create_op_breakdown(
                 tps, title="Best throughput by result set (tok/s)"))
+        tabs = [(n, (self._registry.get(n) or {}).get("op_table", {})
+                 .get("ops")) for n in names]
+        tabs = [(n, ops) for n, ops in tabs if ops]
+        if tabs:
+            charts.append(viz.create_breakdown_comparison(
+                [ops for _, ops in tabs], [n for n, _ in tabs]))
         return charts
 
     def recommendations(self, name: str) -> List[Dict[str, Any]]:

@@ -145,20 +145,26 @@ function groupedBarChart(container, spec) {
   if (!groups.length) { container.textContent = "no data"; return; }
   const W = 560, H = 260, pad = 46;
   const svg = svgEl("svg", { width: W, height: H });
-  const flat = values.flat();
-  const maxV = Math.max(...flat, 0) || 1;
+  const stacked = !!spec.stacked;
+  const maxV = (stacked
+    ? Math.max(...values.map((r) => r.reduce((a, b) => a + b, 0)), 0)
+    : Math.max(...values.flat(), 0)) || 1;
   axes(svg, W, H, pad, "", spec.y_label || "", 0, maxV);
   const gw = (W - 2 * pad) / groups.length;
-  const bw = (gw - 8) / Math.max(1, metrics.length);
+  const bw = (gw - 8) / Math.max(1, stacked ? 1 : metrics.length);
   groups.forEach((g, gi) => {
+    let acc = 0; // stacked: running height within the group's single bar
     metrics.forEach((m, mi) => {
       const v = values[gi][mi];
       const h = (H - 2 * pad) * (v / maxV);
+      const y0 = stacked ? H - pad - (H - 2 * pad) * (acc / maxV) - h
+                         : H - pad - h;
       const rect = svgEl("rect", {
-        x: pad + gi * gw + 4 + mi * bw, y: H - pad - h,
+        x: pad + gi * gw + 4 + (stacked ? 0 : mi * bw), y: y0,
         width: Math.max(1, bw - 2), height: Math.max(0, h),
         class: `bar bar-${mi % 6}`,
       });
+      if (stacked) acc += v;
       rect.onmousemove = (e) => showTip(e, `<b>${esc(g)}</b><br>${esc(m)}: ${fmt(v)}`);
       rect.onmouseleave = hideTip;
       svg.appendChild(rect);

@@ -130,6 +130,45 @@ def create_optimization_impact(impacts: Dict[str, Dict[str, float]],
                           for g in impacts])
 
 
+def create_breakdown_comparison(op_tables: List[List[Dict[str, Any]]],
+                                labels: Sequence[str],
+                                title: str = "Operation breakdown comparison",
+                                ) -> Dict:
+    """Stacked per-category device-time bars, one bar per result set
+    (parity: visualizations.py:640-714 — the reference groups each
+    profile's operations by category and stacks the durations)."""
+    def categorize(name: str) -> str:
+        n = name.lower()
+        for cat, keys in (
+                ("matmul", ("dot", "conv", "gemm", "einsum")),
+                ("attention", ("attention", "flash", "softmax", "paged")),
+                ("norm", ("norm", "rms")),
+                ("collective", ("all-reduce", "all-gather", "psum",
+                                "permute", "reduce-scatter", "all-to-all")),
+                ("data-movement", ("copy", "transpose", "dynamic-update",
+                                   "slice", "broadcast", "reshape",
+                                   "gather", "scatter", "pad"))):
+            if any(k in n for k in keys):
+                return cat
+        return "other"
+
+    cats: set = set()
+    breakdowns: List[Dict[str, float]] = []
+    for ops in op_tables:
+        d: Dict[str, float] = {}
+        for o in ops or []:
+            c = categorize(str(o.get("name", "")))
+            d[c] = d.get(c, 0.0) + float(o.get("total_us", 0.0)) / 1e3
+        cats.update(d)
+        breakdowns.append(d)
+    metrics = sorted(cats)
+    return _chart("grouped_bar", title, groups=list(labels),
+                  metrics=metrics,
+                  values=[[round(b.get(m, 0.0), 4) for m in metrics]
+                          for b in breakdowns],
+                  stacked=True, y_label="ms")
+
+
 ALL_BUILDERS = [
     create_timeline_visualization,
     create_op_breakdown,
@@ -143,4 +182,5 @@ ALL_BUILDERS = [
     create_bottleneck_visualization,
     create_parameter_sensitivity,
     create_optimization_impact,
+    create_breakdown_comparison,
 ]
