@@ -363,48 +363,66 @@ def _flash_fwd_stream_kernel(kvlen_ref, qoff_ref, q_ref, k_hbm, v_hbm,
             kb.at[slot], sems.at[slot])
         vr = pltpu.make_async_copy(
             v_hbm.at[b, hkv, pl.ds(j * block_kv, block_kv), :],
-            vb.at[slot], sems.at[2 + slot])
+            vb.at[slot], sems.at[kb.shape[0] + slot])
         return kr, vr
 
-    @pl.when(nb > 0)
-    def _():
-        kr, vr = copies(0, 0)
-        kr.start()
-        vr.start()
+    # depth-3 KV buffering (dma_bench: double buffering leaves the DMA
+    # queue dry between wait and refill; a third slot saturates it)
+    depth = kb.shape[0]
 
-    row_abs = (q_start + qoff
-               + lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0))
+    for d in range(depth - 1):  # prewarm; body(j) fetches j+depth-1 itself
+        @pl.when(nb > d)
+        def _(d=d):
+            kr, vr = copies(d, d)
+            kr.start()
+            vr.start()
+
+    row_iota = lax.broadcasted_iota(jnp.int32, (bq, block_kv), 0)
+    col_iota = lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
+    row_abs = q_start + qoff + row_iota
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, D), jnp.float32)
 
-    def body(j, carry):
+    def body(j, carry, masked):
         m, l, acc = carry
-        slot = lax.rem(j, 2)
+        slot = lax.rem(j, depth)
 
-        @pl.when(j + 1 < nb)
+        # fetch the block depth-1 ahead into the slot consumed at j-1
+        # (its reads were issued last iteration; in-order issue makes the
+        # overwrite safe — the decode-megakernel refill pattern)
+        nxt = j + depth - 1
+
+        @pl.when(nxt < nb)
         def _():
-            kr, vr = copies(j + 1, 1 - slot)
-            kr.start()
-            vr.start()
+            krn, vrn = copies(nxt, lax.rem(nxt, depth))
+            krn.start()
+            vrn.start()
 
         kr, vr = copies(j, slot)
         kr.wait()
-        vr.wait()
         ks = kb[slot]
-        vs = vb[slot]
         s = lax.dot_general(q, ks, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-        col_abs = j * block_kv + lax.broadcasted_iota(
-            jnp.int32, (bq, block_kv), 1)
-        mask = col_abs < kvlen
-        if causal:
-            mask = jnp.logical_and(mask, row_abs >= col_abs)
-        s = jnp.where(mask, s, NEG_INF)
+        # V lands while the QK^T dot runs; wait only when it's needed
+        vr.wait()
+        vs = vb[slot]
+
+        if masked:
+            col_abs = j * block_kv + col_iota
+            mask = col_abs < kvlen
+            if causal:
+                mask = jnp.logical_and(mask, row_abs >= col_abs)
+            s = jnp.where(mask, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
-        alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
-        p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
+        if masked:
+            m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+            alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
+        else:
+            # an unmasked block guarantees finite scores: no -inf guards
+            m_safe = m_new
+            alpha = jnp.exp(m - m_safe)
+        p = jnp.exp(s - m_safe)  # exp(-inf - m) == 0: masked lanes vanish
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = lax.dot_general(p.astype(vs.dtype), vs,
                              (((1,), (0,)), ((), ())),
@@ -412,7 +430,19 @@ def _flash_fwd_stream_kernel(kvlen_ref, qoff_ref, q_ref, k_hbm, v_hbm,
         acc = acc * alpha + pv
         return m_new, l, acc
 
-    m, l, acc = lax.fori_loop(0, nb, body, (m0, l0, acc0))
+    # Interior blocks are FULLY visible (entirely below the causal
+    # diagonal and inside kvlen): run them without any masking/iota/where
+    # VPU work — at 65K context that is ~all blocks. Edge blocks (the
+    # diagonal and the kvlen tail) take the masked path.
+    full_rows_ok = (q_start + qoff) // block_kv  # blocks whole-≤ min row
+    nb_full = jnp.minimum(full_rows_ok if causal
+                          else jnp.iinfo(jnp.int32).max // block_kv,
+                          kvlen // block_kv)
+    nb_full = jnp.minimum(nb_full, nb)
+    m, l, acc = lax.fori_loop(
+        0, nb_full, lambda j, c: body(j, c, masked=False), (m0, l0, acc0))
+    m, l, acc = lax.fori_loop(
+        nb_full, nb, lambda j, c: body(j, c, masked=True), (m, l, acc))
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
     if with_stats:
@@ -629,9 +659,9 @@ def flash_attention(
                 out_specs=((o_spec_s, lse_spec_s) if return_stats
                            else o_spec_s),
                 scratch_shapes=[
-                    pltpu.VMEM((2, bkv, D), kt.dtype),
-                    pltpu.VMEM((2, bkv, D), vt.dtype),
-                    pltpu.SemaphoreType.DMA((4,)),
+                    pltpu.VMEM((3, bkv, D), kt.dtype),   # depth-3 KV stream
+                    pltpu.VMEM((3, bkv, D), vt.dtype),
+                    pltpu.SemaphoreType.DMA((6,)),
                 ],
             ),
             out_shape=out_shape_s,
