@@ -113,6 +113,9 @@ def _save(key: str, entry: Dict, path: Optional[str] = None) -> None:
 FLASH_CANDIDATES: Tuple[Tuple[int, int], ...] = (
     (128, 256), (128, 512), (256, 256), (256, 512), (256, 1024),
     (512, 512), (512, 1024), (512, 2048), (1024, 1024), (1024, 2048),
+    # streamed long-context tiles: q tiles are nearly free in VMEM there,
+    # and bigger bq divides total KV refetch traffic
+    (1024, 4096), (2048, 1024), (2048, 2048),
 )
 
 
@@ -413,7 +416,10 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
     return best
 
 
-TILED_CANDIDATES = ({"cache_block": 64}, {"cache_block": 128},
+TILED_CANDIDATES = tuple(
+    {"cache_block": cb, "kv_depth": kd}
+    for cb in (64, 128, 256, 512) for kd in (2, 3))
+_TILED_CANDIDATES_LEGACY = ({"cache_block": 64}, {"cache_block": 128},
                     {"cache_block": 256}, {"cache_block": 512})
 
 
@@ -445,8 +451,8 @@ def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
     ids = jnp.zeros((batch, prompt), jnp.int32)
     tiling = choose_tiling(spec, batch, 1, 1, weight_fmt="int8")
 
-    @functools.partial(jax.jit, static_argnames=("n", "cb"))
-    def run(params, ids, n, cb):
+    @functools.partial(jax.jit, static_argnames=("n", "cb", "kd"))
+    def run(params, ids, n, cb, kd):
         cache = init_cache(spec, batch, cache_len, dtype=jnp.bfloat16,
                            quant="int8")
         logits, cache = forward(params, spec, ids, impl=impl, cache=cache)
@@ -466,7 +472,7 @@ def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
             out = decode_layer_tiled(
                 x, params["blocks"], ck, cv, pos, cs, sn,
                 spec=spec, k_scales=ks, v_scales=vs, tiling=tiling,
-                cache_block=cb)
+                cache_block=cb, kv_depth=kd)
             h = out[0]
             from mlio_tpu import ops as _ops
             hn = _ops.norm(h[:, None], params["final_scale"],
@@ -483,14 +489,15 @@ def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
     best = None
     for cand in candidates or TILED_CANDIDATES:
         cb = cand["cache_block"]
+        kd = cand.get("kv_depth", 3)
 
         def f(n):
-            return int(run(params, ids, n, cb)[0])
+            return int(run(params, ids, n, cb, kd)[0])
         try:
             f(lo), f(hi)
         except Exception as e:
             if verbose:
-                print(f"  cb={cb}: failed {type(e).__name__}: {e}")
+                print(f"  cb={cb} kd={kd}: failed {type(e).__name__}: {e}")
             continue
         dt = float("inf")
         for _ in range(3):
@@ -498,11 +505,13 @@ def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
             t0 = time.perf_counter(); f(hi); th = time.perf_counter() - t0
             dt = min(dt, (th - tl) / (hi - lo))
         if verbose:
-            print(f"  cb={cb:4d}: {dt * 1e3:8.3f} ms/step", flush=True)
+            print(f"  cb={cb:4d} kd={kd}: {dt * 1e3:8.3f} ms/step",
+                  flush=True)
         if not (0 < dt < float("inf")):  # noisy chip: no finite marginal
             continue
         if best is None or dt < best["_dt"]:
-            best = {"cache_block": cb, "_dt": dt, "ms": round(dt * 1e3, 4)}
+            best = {"cache_block": cb, "kv_depth": kd, "_dt": dt,
+                    "ms": round(dt * 1e3, 4)}
     if best is None:
         raise RuntimeError("no tiled decode candidate ran")
     best.pop("_dt")

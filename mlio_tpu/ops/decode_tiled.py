@@ -266,16 +266,20 @@ _CAST_CHUNK_BYTES = 2 << 20
 
 def _qdot(h16, w, out_w):
     """h16 @ w with the int8/fp8→bf16 dequant cast sub-chunked along the
-    contracting dim so at most _CAST_CHUNK_BYTES of cast weight is live."""
+    contracting dim so at most _CAST_CHUNK_BYTES of cast weight is live.
+    fp8 storage converts via the integer bit assembly (ops.quant
+    fp8_to_bf16 — ~6x the software astype; v5e has no fp8 ALU)."""
+    from mlio_tpu.ops.quant import cast_weight
+
     K = w.shape[0]
     rows = max(512, _CAST_CHUNK_BYTES // (out_w * 2) // 512 * 512)
     if K <= rows or K % rows:
-        return jnp.dot(h16, w.astype(h16.dtype),
+        return jnp.dot(h16, cast_weight(w, h16.dtype),
                        preferred_element_type=jnp.float32)
     y = None
     for j in range(0, K, rows):
         part = jnp.dot(h16[:, j:j + rows],
-                       w[j:j + rows].astype(h16.dtype),
+                       cast_weight(w[j:j + rows], h16.dtype),
                        preferred_element_type=jnp.float32)
         y = part if y is None else y + part
     return y
@@ -648,13 +652,18 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             spans = [(0, ic)]
         else:
             spans = [(j, rows) for j in range(0, ic, rows)]
+        from mlio_tpu.ops.quant import cast_weight as _cw
         d = None
         for j0, nr in spans:
             row = (kk * ic + j0
                    + lax.broadcasted_iota(jnp.int32, (nr, 1), 0))
-            wdj = jnp.where(row < I_total, wd[j0:j0 + nr], 0)
+            wdj = wd[j0:j0 + nr]
             if r["s_down"] is not None:
-                wdj = wdj.astype(cdtype)
+                wdj = _cw(wdj, cdtype)
+            # zero garbage rows of the edge block AFTER the cast (select
+            # does not propagate NaN, so non-finite padding is safe)
+            wdj = jnp.where(row < I_total, wdj,
+                            jnp.zeros((), wdj.dtype))
             part = jnp.dot(act[:, j0:j0 + nr], wdj,
                            preferred_element_type=jnp.float32)
             d = part if d is None else d + part

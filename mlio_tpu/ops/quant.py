@@ -137,12 +137,46 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
 
 
 def quantize_fp8(w: jax.Array) -> QTensor:
-    """FP8 (e4m3) with per-channel scale to use the full fp8 range."""
+    """FP8 (e4m3) with per-channel scale to use the full fp8 range.
+
+    Subnormal e4m3 codes (|x| < 2^-6 after scaling ~ amax * 3.5e-5) are
+    FLUSHED TO ZERO: v5e has no fp8 hardware, so dequant goes through
+    fp8_to_bf16 (integer bit assembly, ~6x faster than the software
+    astype lowering) which handles normals + zero only. The flushed mass
+    is far below int8's own quantization step (amax/127)."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=0)
     scale = jnp.where(amax == 0, 1.0, amax / 448.0)  # e4m3 max = 448
-    q = (wf / scale).astype(jnp.float8_e4m3fn)
+    ws = wf / scale
+    ws = jnp.where(jnp.abs(ws) < 2.0 ** -6, 0.0, ws)  # flush subnormals
+    q = ws.astype(jnp.float8_e4m3fn)
     return QTensor(q, scale.astype(jnp.float32), "fp8")
+
+
+def fp8_to_bf16(w: jax.Array) -> jax.Array:
+    """e4m3 -> bf16 via integer bit assembly (normals + zero; subnormal
+    codes are not produced by quantize_fp8).
+
+    bf16_bits = sign<<15 | (exp+120)<<7 | mant<<4
+              = sign<<15 | ((exp<<3 | mant) + 960) << 4
+    Measured 526 GB/s effective in-kernel on v5e vs 83 GB/s for the
+    software astype lowering (exp_fp8_convert.py) — the chip has no fp8
+    ALU, so the astype is a long scalarized op chain."""
+    u = lax.bitcast_convert_type(w, jnp.uint8).astype(jnp.int32)
+    rest = u & 0x7F
+    bits = jnp.where(rest == 0, 0,
+                     ((u & 0x80) << 8) | ((rest + 960) << 4))
+    return lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+
+
+def cast_weight(w: jax.Array, dtype) -> jax.Array:
+    """Storage -> compute cast with the fast fp8 path."""
+    if w.dtype == jnp.float8_e4m3fn and dtype in (jnp.bfloat16,
+                                                  jnp.dtype(jnp.bfloat16)):
+        return fp8_to_bf16(w)
+    if w.dtype == jnp.float8_e4m3fn:
+        return fp8_to_bf16(w).astype(dtype)
+    return w.astype(dtype)
 
 
 def quantize(w: jax.Array, fmt: str) -> QTensor:
@@ -164,6 +198,8 @@ def dequantize(t: QTensor, dtype=jnp.float32) -> jax.Array:
         scale = jnp.repeat(scale, q.shape[-2] // scale.shape[-2], axis=-2)
     elif scale.ndim == q.ndim - 1 and scale.ndim >= 1:
         scale = scale[..., None, :]
+    if t.fmt == "fp8":
+        return (fp8_to_bf16(q).astype(jnp.float32) * scale).astype(dtype)
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 

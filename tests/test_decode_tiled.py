@@ -170,6 +170,41 @@ def test_generate_tiled_int8_kv_roundtrip():
     assert agree >= 0.8, (out_scan, out_tiled)
 
 
+def test_tiled_fp8_weights_match_scan():
+    """fp8 weights through the tiled kernel use the integer bit-assembly
+    dequant (ops.quant.fp8_to_bf16) — must agree with the scan path's
+    XLA dequant to fp8-rounding tolerance."""
+    from mlio_tpu.runtime.quantization import quantize_params
+
+    spec = get_spec("llama-tiny")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_params(params, spec, "fp8")
+    _decode_steps(spec, qparams, n=2, tol=2e-2)
+
+
+def test_fp8_transcode_int8_serving_path():
+    """transcode_fp8_to_int8 keeps generate() outputs close to the fp8
+    master (both are ~1%-error quantizations of the same weights)."""
+    from mlio_tpu.runtime.quantization import (
+        quantize_params,
+        transcode_fp8_to_int8,
+    )
+
+    spec = get_spec("llama-tiny")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    fp8 = quantize_params(params, spec, "fp8")
+    tc = transcode_fp8_to_int8(fp8)
+    assert tc["blocks"]["wq"].fmt == "int8"
+    ids = jnp.asarray([[5, 3, 2, 6]], jnp.int32)
+    a = generate(fp8, spec, ids, max_new_tokens=4, cache_len=128,
+                 impl=Impl(attention="flash"),
+                 method=SamplingMethod(temperature=0.0))
+    b = generate(tc, spec, ids, max_new_tokens=4, cache_len=128,
+                 impl=Impl(attention="flash"),
+                 method=SamplingMethod(temperature=0.0))
+    assert np.mean(np.asarray(a) == np.asarray(b)) >= 0.75
+
+
 def test_tiled_moe_matches_scan_decode():
     """Fused MoE decode: the tiled kernel's in-kernel router (softmax ->
     top-k -> renormalize) + masked-dense expert streaming must agree with
