@@ -134,14 +134,23 @@ def transcode_fp8_to_int8(params: Dict[str, Any]) -> Dict[str, Any]:
         f = lambda w: quantize(w, "int8")  # noqa: E731
         for _ in range(leaf.q.ndim - 2):  # stacked [L(,E), K, N] leaves
             f = jax.vmap(f)
-        return jax.jit(f)(dequantize(leaf, jnp.float32))
+
+        # dequant INSIDE the jit so XLA fuses the f32 expansion into the
+        # quantize reductions — an eager dequant would materialize the
+        # whole leaf (and each int-op temp) at 4 B/element, OOMing a 70B
+        # shard on a 16 GB chip
+        @jax.jit
+        def convert(t):
+            return f(dequantize(t, jnp.float32))
+
+        return jax.block_until_ready(convert(leaf))
 
     out = dict(params)
     out["blocks"] = {k: tc(v) for k, v in params["blocks"].items()}
     lm = params.get("lm_head")
     if isinstance(lm, QTensor) and lm.fmt == "fp8":
-        out["lm_head"] = jax.jit(
-            lambda w: quantize(w, "int8"))(dequantize(lm, jnp.float32))
+        out["lm_head"] = jax.block_until_ready(jax.jit(
+            lambda t: quantize(dequantize(t, jnp.float32), "int8"))(lm))
     return out
 
 
