@@ -113,29 +113,103 @@ function lineChart(container, spec) {
   if (!xs.length || !series.length) { container.textContent = "no data"; return; }
   const W = 560, H = 260, pad = 46;
   const svg = svgEl("svg", { width: W, height: H });
-  const all = series.flatMap((s) => s.y);
-  const maxV = Math.max(...all) || 1;
-  const minV = Math.min(...all, 0);
-  axes(svg, W, H, pad, spec.x_label || "", spec.y_label || "", minV, maxV);
-  const sx = (i) => pad + (W - 2 * pad) * (i / Math.max(1, xs.length - 1));
-  const sy = (v) => H - pad - (H - 2 * pad) * ((v - minV) / (maxV - minV || 1));
-  series.forEach((s, si) => {
-    const d = s.y.map((v, i) => `${i ? "L" : "M"}${sx(i)},${sy(v)}`).join(" ");
-    svg.appendChild(svgEl("path", {
-      d, fill: "none", class: `line line-${si % 6}`,
-      "stroke-dasharray": s.dash ? "6 4" : "none",
-    }));
-    s.y.forEach((v, i) => {
-      const c = svgEl("circle", { cx: sx(i), cy: sy(v), r: 3, class: `dot line-${si % 6}` });
-      c.onmousemove = (e) => showTip(e, `<b>${esc(s.name)}</b><br>${esc(spec.x_label || "x")}=${esc(xs[i])}, y=${fmt(v)}`);
-      c.onmouseleave = hideTip;
-      svg.appendChild(c);
+  // Interactive state: x-range zoom [lo, hi) (wheel to zoom at cursor,
+  // drag to pan, dblclick to reset), per-series visibility (legend click),
+  // and a crosshair synced ACROSS every line chart on the page.
+  const st = { lo: 0, hi: xs.length, hidden: new Set() };
+
+  function render() {
+    svg.innerHTML = "";
+    const lo = st.lo, hi = Math.max(st.lo + 2, st.hi);
+    const vis = series.filter((_, si) => !st.hidden.has(si));
+    const all = vis.flatMap((s) => s.y.slice(lo, hi));
+    const maxV = Math.max(...all) || 1;
+    const minV = Math.min(...all, 0);
+    axes(svg, W, H, pad, spec.x_label || "", spec.y_label || "", minV, maxV);
+    const n = hi - lo;
+    const sx = (i) => pad + (W - 2 * pad) * ((i - lo) / Math.max(1, n - 1));
+    const sy = (v) => H - pad - (H - 2 * pad) * ((v - minV) / (maxV - minV || 1));
+    series.forEach((s, si) => {
+      if (st.hidden.has(si)) return;
+      const seg = s.y.slice(lo, hi);
+      const d = seg.map((v, i) => `${i ? "L" : "M"}${sx(lo + i)},${sy(v)}`).join(" ");
+      svg.appendChild(svgEl("path", {
+        d, fill: "none", class: `line line-${si % 6}`,
+        "stroke-dasharray": s.dash ? "6 4" : "none",
+      }));
+      if (n <= 200) seg.forEach((v, i) => {
+        const c = svgEl("circle", { cx: sx(lo + i), cy: sy(v), r: 3, class: `dot line-${si % 6}` });
+        c.onmousemove = (e) => showTip(e, `<b>${esc(s.name)}</b><br>${esc(spec.x_label || "x")}=${esc(xs[lo + i])}, y=${fmt(v)}`);
+        c.onmouseleave = hideTip;
+        svg.appendChild(c);
+      });
     });
-    const lbl = svgEl("text", {
-      x: W - pad, y: 16 + 13 * si, "text-anchor": "end", class: `legend line-${si % 6}`,
+    series.forEach((s, si) => {
+      const lbl = svgEl("text", {
+        x: W - pad, y: 16 + 13 * si, "text-anchor": "end",
+        class: `legend line-${si % 6}`, style: "cursor:pointer",
+        opacity: st.hidden.has(si) ? 0.3 : 1,
+      });
+      lbl.textContent = s.name;
+      lbl.onclick = () => {   // legend toggle
+        st.hidden.has(si) ? st.hidden.delete(si) : st.hidden.add(si);
+        render();
+      };
+      svg.appendChild(lbl);
     });
-    lbl.textContent = s.name;
-    svg.appendChild(lbl);
+  }
+  render();
+
+  // crosshair synced across all line charts (cross-chart linking)
+  const cross = svgEl("line", { y1: pad, y2: H - pad, class: "axis",
+                                "stroke-dasharray": "3 3", opacity: 0 });
+  svg.appendChild(cross);
+  const setCross = (frac) => {
+    if (frac == null) { cross.setAttribute("opacity", 0); return; }
+    cross.setAttribute("opacity", 0.6);
+    const x = pad + (W - 2 * pad) * frac;
+    cross.setAttribute("x1", x);
+    cross.setAttribute("x2", x);
+    svg.appendChild(cross);  // keep on top after re-renders
+  };
+  (window._lineCharts = window._lineCharts || []).push(setCross);
+  svg.addEventListener("mousemove", (e) => {
+    const frac = Math.min(1, Math.max(0,
+      (e.offsetX - pad) / (W - 2 * pad)));
+    window._lineCharts.forEach((f) => f(frac));
+  });
+  svg.addEventListener("mouseleave", () =>
+    window._lineCharts.forEach((f) => f(null)));
+
+  // wheel zoom at the cursor + drag pan + dblclick reset
+  svg.addEventListener("wheel", (e) => {
+    e.preventDefault();
+    const span = st.hi - st.lo;
+    if (span <= 4 && e.deltaY < 0) return;
+    const frac = Math.min(1, Math.max(0, (e.offsetX - pad) / (W - 2 * pad)));
+    const center = st.lo + frac * span;
+    const ns = Math.min(xs.length, Math.max(4,
+      Math.round(span * (e.deltaY < 0 ? 0.8 : 1.25))));
+    st.lo = Math.max(0, Math.round(center - frac * ns));
+    st.hi = Math.min(xs.length, st.lo + ns);
+    st.lo = Math.max(0, st.hi - ns);
+    render();
+  }, { passive: false });
+  let dragX = null;
+  svg.addEventListener("mousedown", (e) => { dragX = e.offsetX; });
+  svg.addEventListener("mouseup", () => { dragX = null; });
+  svg.addEventListener("mousemove", (e) => {
+    if (dragX == null || e.buttons !== 1) return;
+    const span = st.hi - st.lo;
+    const shift = Math.round((dragX - e.offsetX) / (W - 2 * pad) * span);
+    if (!shift) return;
+    dragX = e.offsetX;
+    st.lo = Math.min(Math.max(0, st.lo + shift), xs.length - span);
+    st.hi = st.lo + span;
+    render();
+  });
+  svg.addEventListener("dblclick", () => {
+    st.lo = 0; st.hi = xs.length; render();
   });
   container.appendChild(svg);
 }
