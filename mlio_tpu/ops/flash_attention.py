@@ -492,7 +492,7 @@ def canonicalize_mask(mask: jax.Array, B: int, Hq: int, Sq: int, Skv: int):
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv",
                      "kv_vmem_budget", "interpret", "kv_layout",
-                     "return_stats", "dropout_rate"),
+                     "return_stats", "dropout_rate", "out_layout"),
 )
 def flash_attention(
     q: jax.Array,
@@ -514,6 +514,7 @@ def flash_attention(
     return_stats: bool = False,
     dropout_rate: float = 0.0,
     dropout_seed=0,
+    out_layout: str = "bshd",
 ):
     """Flash attention. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D] → [B,Sq,Hq,D].
 
@@ -667,6 +668,9 @@ def flash_attention(
             out_shape=out_shape_s,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
+                # big-tile candidates ((1024,2048)+) need scoped-VMEM room
+                # for the f32 score/prob temporaries
+                vmem_limit_bytes=120 << 20,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=4 * B * Hq * Sq * Skv * D,
@@ -678,8 +682,12 @@ def flash_attention(
         )(kvlen_arr, qoff_arr, qs_t, kt, vt)
         if return_stats:
             o_s, lse_s = out
+            if out_layout == "bhsd":  # skip the O(B*H*S*D) relayout
+                return o_s[:, :, :Sq, :], lse_s[:, :, :Sq, 0]
             return (o_s[:, :, :Sq, :].transpose(0, 2, 1, 3),
                     lse_s[:, :, :Sq, 0])
+        if out_layout == "bhsd":
+            return out[:, :, :Sq, :]
         return out[:, :, :Sq, :].transpose(0, 2, 1, 3)
 
     # --- user mask: canonicalize + pad to the padded grid shapes ---
@@ -865,8 +873,12 @@ def flash_attention(
 
     if return_stats:
         out, lse = out
+        if out_layout == "bhsd":
+            return out[:, :, :Sq, :], lse[:, :, :Sq, 0]
         return (out[:, :, :Sq, :].transpose(0, 2, 1, 3),
                 lse[:, :, :Sq, 0])
+    if out_layout == "bhsd":
+        return out[:, :, :Sq, :]
     out = out[:, :, :Sq, :].transpose(0, 2, 1, 3)
     return out
 

@@ -113,12 +113,15 @@ def chunk_step_flash(
     kv_local = None
     if kv_len is not None:
         kv_local = jnp.clip(jnp.asarray(kv_len) - k_offset, 0, C)
-    o_c, lse = flash_attention(
+    # out_layout="bhsd": the kernel computes head-major anyway, and the
+    # running stats live head-major — skipping the two O(B*H*S*D)
+    # relayouts per chunk saves ~4 GB of HBM traffic on a 65K merge
+    o_t, lse = flash_attention(
         q, k, v, causal=causal, scale=scale,
         q_offset=jnp.asarray(q_offset) - k_offset, kv_len=kv_local,
-        return_stats=True, interpret=interpret)
+        return_stats=True, interpret=interpret, out_layout="bhsd")
     lse = lse[..., None]                                  # [B, Hq, Sq, 1]
-    o_t = o_c.transpose(0, 2, 1, 3).astype(jnp.float32)   # [B, Hq, Sq, D]
+    o_t = o_t.astype(jnp.float32)                         # [B, Hq, Sq, D]
 
     # Merge (o, lse) as a pre-normalized partial: equivalent stats are
     # (m_c = lse, l_c = 1, acc_c = o).
