@@ -337,8 +337,9 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
     pe_in_kernel = (spec.positional == "learned"
                     and spec.max_seq_len % 8 == 0)
 
-    @functools.partial(jax.jit, static_argnames=("n", "cb", "vc", "lm_V"))
-    def run(params, lm_w, ids, n, cb, vc, lm_V):
+    @functools.partial(jax.jit,
+                       static_argnames=("n", "cb", "vc", "lm_V", "kd"))
+    def run(params, lm_w, ids, n, cb, vc, lm_V, kd=None):
         cache = init_cache(spec, batch, cache_len, dtype=jnp.bfloat16,
                           quant="int8" if quant else None)
         logits, cache = forward(params, spec, ids, impl=impl, cache=cache)
@@ -370,6 +371,7 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
                 head_norm=(params["final_scale"], params["final_bias"]),
                 lm_head=lm_w, lm_vmajor=True, vocab_chunk=vc,
                 vocab_size=lm_V, cache_block=cb, kv_combined=combined,
+                kv_depth=kd,
                 pos_embed=params["pos_embed"] if pe_in_kernel else None)
             ck2 = out[1]
             cv2 = None if combined else out[2]
@@ -383,15 +385,17 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
     best = None
     for cand in candidates or DECODE_CANDIDATES:
         cb, vc = cand["cache_block"], cand["vocab_chunk"]
+        kd = cand.get("kv_depth")
         lm_w, lm_V, _ = pad_lm_head_for_mega(params["tok_embed"], True, vc)
 
         def f(n):
-            return int(run(params, lm_w, ids, n, cb, vc, lm_V)[0])
+            return int(run(params, lm_w, ids, n, cb, vc, lm_V, kd)[0])
         try:
             f(lo), f(hi)
         except Exception as e:
             if verbose:
-                print(f"  cb={cb} vc={vc}: failed {type(e).__name__}")
+                print(f"  cb={cb} vc={vc} kd={kd}: failed "
+                      f"{type(e).__name__}")
             continue
         dt = float("inf")
         for _ in range(3):
@@ -399,13 +403,15 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
             t0 = time.perf_counter(); f(hi); th = time.perf_counter() - t0
             dt = min(dt, (th - tl) / (hi - lo))
         if verbose:
-            print(f"  cb={cb:4d} vc={vc:5d}: {dt * 1e3:7.3f} ms/step",
-                  flush=True)
+            print(f"  cb={cb:4d} vc={vc:5d} kd={kd}: {dt * 1e3:7.3f} "
+                  f"ms/step", flush=True)
         if not (0 < dt < float("inf")):  # noisy chip: no finite marginal
             continue
         if best is None or dt < best["_dt"]:
             best = {"cache_block": cb, "vocab_chunk": vc, "_dt": dt,
                     "ms": round(dt * 1e3, 4)}
+            if kd is not None:
+                best["kv_depth"] = kd
     if best is None:
         raise RuntimeError("no decode candidate ran")
     best.pop("_dt")
