@@ -59,8 +59,11 @@ def llama7b_int8():
     spec = get_spec("llama2-7b")
     # unfused projections so the decode router picks the tiled megakernel
     # (ops/decode_tiled.py): one pallas_call per step beats both the per-op
-    # path and the fused-projection scan path (621 vs 597 tok/s measured)
-    params = init_quantized_params(spec, jax.random.PRNGKey(0))
+    # path and the fused-projection scan path (621 vs 597 tok/s measured).
+    # lm_head is int8 too (standard weight-only serving; covered by the
+    # ppl gate's quantize_lm_head legs).
+    params = init_quantized_params(spec, jax.random.PRNGKey(0),
+                                   quantize_lm_head=True)
     B, CACHE = 8, 1024
     PROMPT, N_LO, N_HI = 704, 64, 320
     ids = jnp.zeros((B, PROMPT), jnp.int32)
@@ -78,9 +81,11 @@ def llama7b_int8():
     h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
     proj = l * (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
                 + 3 * h * i)
-    embed = 2 * spec.vocab_size * h * 2  # tok_embed read + lm_head (tied)
+    # int8 lm_head read once per step; the tok-embed gather reads only B
+    # rows (the old 2*V*h*2 term double-counted a full-table read)
+    head = spec.vocab_size * h
     kv = B * 2 * l * avg_ctx * spec.kv_dim
-    step_bytes = proj + embed + kv
+    step_bytes = proj + head + kv
     roofline = HBM_GBPS * 1e9 / step_bytes * B
     return {"metric": "llama7b_int8_decode_tokens_per_sec_per_chip",
             "value": round(tok_s, 1), "unit": "tok/s/chip",
@@ -180,8 +185,10 @@ def latency_4k():
     from mlio_tpu.runtime.quantization import init_quantized_params
 
     spec = get_spec("llama2-7b")
-    # unfused layout → tiled decode megakernel (ops/decode_tiled.py)
-    params = init_quantized_params(spec, jax.random.PRNGKey(0))
+    # unfused layout → tiled decode megakernel (ops/decode_tiled.py);
+    # int8 lm_head (weight-only serving recipe)
+    params = init_quantized_params(spec, jax.random.PRNGKey(0),
+                                   quantize_lm_head=True)
     B, CTX = 1, 4096
     N_LO, N_HI = 64, 192
     ids = jnp.zeros((B, CTX - N_HI), jnp.int32)
@@ -193,9 +200,12 @@ def latency_4k():
         return int(out[0, -1])
 
     p50_ms = _marginal_step(run, N_LO, N_HI) * 1e3
-    # roofline step: int8 weights once + int8 KV for ~4K ctx
-    wbytes = spec.num_params() * 1  # int8 (lm_head small vs 7B total)
-    kv = 2 * spec.num_layers * B * CTX * spec.kv_dim * 1
+    # roofline step: int8 projections + int8 lm_head once + int8 KV for
+    # ~4K ctx (tok-embed gather reads B rows — not counted)
+    h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
+    wbytes = l * (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
+                  + 3 * h * i) + spec.vocab_size * h
+    kv = 2 * l * B * CTX * spec.kv_dim * 1
     step_ms = (wbytes + kv) / (HBM_GBPS * 1e9) * 1e3
     return {"metric": "llama7b_int8_p50_decode_latency_ms_at_4k_ctx",
             "value": round(p50_ms, 2), "unit": "ms/token",
@@ -251,7 +261,8 @@ def llama70b_fp8():
         num_heads=4, num_kv_heads=1, intermediate_size=28672 // 16,
         head_dim=128)
     fp8_params = init_quantized_params(spec, jax.random.PRNGKey(0),
-                                       weights="fp8")
+                                       weights="fp8",
+                                       quantize_lm_head=True)
     B, CACHE = 8, 1024
     PROMPT, N_LO, N_HI = 704, 32, 160
     ids = jnp.zeros((B, PROMPT), jnp.int32)
@@ -275,9 +286,9 @@ def llama70b_fp8():
     h, i, l = spec.hidden_size, spec.intermediate_size, spec.num_layers
     proj = l * (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h
                 + 3 * h * i)  # 1 B/elem
-    embed = 2 * spec.vocab_size * h * 2
+    head = spec.vocab_size * h  # 1 B/elem lm_head, read once per step
     kv = B * 2 * l * avg_ctx * spec.kv_dim  # int8 KV
-    roofline = HBM_GBPS * 1e9 / (proj + embed + kv) * B
+    roofline = HBM_GBPS * 1e9 / (proj + head + kv) * B
     return {"metric": "llama70b_fp8_tp16_decode_tokens_per_sec_per_chip",
             "value": round(tok_s, 1), "unit": "tok/s/chip",
             "vs_baseline": round(tok_s / roofline, 3),
@@ -312,7 +323,8 @@ def moe_13b_int8():
     # random-init DIRECTLY quantized: the bf16 expert tree alone (~13GB)
     # plus any quantized leaf exceeds a 16GB chip even with donation, so
     # never materialize it (weight values don't affect decode bandwidth)
-    params = init_quantized_params(spec, jax.random.PRNGKey(0))
+    params = init_quantized_params(spec, jax.random.PRNGKey(0),
+                                   quantize_lm_head=True)
     B, CACHE = 8, 1024
     PROMPT, N_LO, N_HI = 704, 32, 160
     ids = jnp.zeros((B, PROMPT), jnp.int32)
@@ -330,9 +342,9 @@ def moe_13b_int8():
     attn = l * (h * spec.q_dim + 2 * h * spec.kv_dim + spec.q_dim * h)
     experts = l * E * 3 * h * i  # int8: 1 B/elem, all experts touched
     router = l * h * E * 4
-    embed = 2 * spec.vocab_size * h * 2
+    head = spec.vocab_size * h  # int8 lm_head once per step
     kv = B * 2 * l * avg_ctx * spec.kv_dim  # int8 KV
-    roofline = HBM_GBPS * 1e9 / (attn + experts + router + embed + kv) * B
+    roofline = HBM_GBPS * 1e9 / (attn + experts + router + head + kv) * B
     return {"metric": "moe13b_int8_decode_tokens_per_sec_per_chip",
             "value": round(tok_s, 1), "unit": "tok/s/chip",
             "vs_baseline": round(tok_s / roofline, 3)}
@@ -383,10 +395,12 @@ def _quantize_inplace(params, fmt, spec):
     to its quantize executable and dropped from the tree as the QTensor is
     built (runtime.quantization.quantize_params(donate=True)), so peak
     device memory stays ≈ model + one quantized stack — what lets the
-    7B-class gate run on a 16 GB chip."""
+    7B-class gate run on a 16 GB chip. lm_head included (the serving
+    benches quantize it, so the quality gate must cover it)."""
     from mlio_tpu.runtime.quantization import quantize_params
 
-    return quantize_params(params, spec, fmt, donate=True)
+    return quantize_params(params, spec, fmt, donate=True,
+                           quantize_lm_head=True)
 
 
 def ppl_gate(shapes=(('llama2-7b', 1, 512, 20), ('gpt2-xl', 4, 512))):

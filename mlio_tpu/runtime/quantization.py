@@ -156,7 +156,8 @@ def transcode_fp8_to_int8(params: Dict[str, Any]) -> Dict[str, Any]:
 
 def init_quantized_params(spec: ModelSpec, key: jax.Array,
                           weights: str = "int8",
-                          dtype=jnp.bfloat16) -> Dict[str, Any]:
+                          dtype=jnp.bfloat16,
+                          quantize_lm_head: bool = False) -> Dict[str, Any]:
     """Random-init a pytree with projection weights ALREADY quantized.
 
     Unlike init_params + quantize_params, this never materializes the
@@ -226,8 +227,17 @@ def init_quantized_params(spec: ModelSpec, key: jax.Array,
         "final_scale": jnp.ones((h,), dtype),
         "final_bias": zeros((h,)) if spec.norm == "layernorm" else None,
         "lm_head": (None if spec.tie_embeddings else
-                    (jax.random.normal(keys[-1], (h, spec.vocab_size))
-                     * h ** -0.5).astype(dtype)),
+                    (QTensor(
+                        (lambda q_: q_.astype(jnp.float8_e4m3fn)
+                         if weights == "fp8" else q_)(
+                            jax.random.randint(
+                                keys[-1], (h, spec.vocab_size), -127, 128,
+                                dtype=jnp.int8)),
+                        jnp.full((spec.vocab_size,), (h ** -0.5) / 64.0,
+                                 jnp.float32), weights)
+                     if quantize_lm_head else
+                     (jax.random.normal(keys[-1], (h, spec.vocab_size))
+                      * h ** -0.5).astype(dtype))),
         "lm_head_bias": (jnp.zeros((spec.vocab_size,), dtype)
                          if spec.use_head_bias else None),
     }
@@ -460,8 +470,12 @@ def streamed_quantized_init(spec: ModelSpec, key: jax.Array,
         "blocks": blocks,
         "final_scale": jnp.ones((h,), dtype),
         "final_bias": maybe_zeros((h,), spec.norm == "layernorm"),
+        # lm_head quantized like the serving benches (leaf-streamed: the
+        # bf16 head is regenerated, quantized, and freed like the blocks)
         "lm_head": (None if spec.tie_embeddings
-                    else w(keys[7], (h, spec.vocab_size), h)),
+                    else jax.block_until_ready(jax.jit(
+                        lambda x: quantize(x, weights), donate_argnums=0)(
+                            w(keys[7], (h, spec.vocab_size), h)))),
         "lm_head_bias": (jnp.zeros((spec.vocab_size,), dtype)
                          if spec.use_head_bias else None),
     }

@@ -294,7 +294,7 @@ def test_streamed_quantized_init_matches_init_then_quantize():
         # use; the streamed path must match it bit-for-bit
         ref = quantize_params(
             init_params(spec, key, dtype=jnp.bfloat16), spec, "int8",
-            donate=True)
+            donate=True, quantize_lm_head=True)
         got = streamed_quantized_init(spec, key, "int8")
         for name, r in ref["blocks"].items():
             g = got["blocks"][name]
@@ -308,5 +308,8 @@ def test_streamed_quantized_init_matches_init_then_quantize():
         for name in ("tok_embed", "pos_embed", "lm_head", "final_scale"):
             r, g = ref[name], got[name]
             assert (r is None) == (g is None), name
-            if r is not None:
+            if isinstance(r, QTensor):
+                assert jnp.array_equal(r.q, g.q), name
+                assert jnp.array_equal(r.scale, g.scale), name
+            elif r is not None:
                 assert jnp.array_equal(r, g), name
