@@ -492,7 +492,8 @@ def canonicalize_mask(mask: jax.Array, B: int, Hq: int, Sq: int, Skv: int):
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_kv",
                      "kv_vmem_budget", "interpret", "kv_layout",
-                     "return_stats", "dropout_rate", "out_layout"),
+                     "return_stats", "dropout_rate", "out_layout",
+                     "q_layout"),
 )
 def flash_attention(
     q: jax.Array,
@@ -515,6 +516,7 @@ def flash_attention(
     dropout_rate: float = 0.0,
     dropout_seed=0,
     out_layout: str = "bshd",
+    q_layout: str = "bshd",
 ):
     """Flash attention. q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D] → [B,Sq,Hq,D].
 
@@ -536,7 +538,10 @@ def flash_attention(
     flash_attention_kernels.py:1150-1315 (shape checks, block heuristics,
     mask canonicalization).
     """
-    B, Sq, Hq, D = q.shape
+    if q_layout == "bhsd":
+        B, Hq, Sq, D = q.shape
+    else:
+        B, Sq, Hq, D = q.shape
     if kv_layout == "bhsd":
         _, Hkv, Skv, _ = k.shape
     else:
@@ -584,7 +589,7 @@ def flash_attention(
     qoff_arr = jnp.asarray(q_offset, jnp.int32).reshape(1)
 
     # [B, H, S, D] layout for per-(batch, head) tiling.
-    qt = q.transpose(0, 2, 1, 3)
+    qt = q if q_layout == "bhsd" else q.transpose(0, 2, 1, 3)
     if kv_layout == "bhsd":
         kt, vt = k, v
     else:
@@ -632,7 +637,7 @@ def flash_attention(
     if (chunked and mask is None and not kv_quant and dropout_rate == 0.0):
         sbq = bq if user_pinned_bq else min(1024, _round_up(Sq, 8))
         sq_pad_s = _round_up(Sq, sbq)
-        qs_t = q.transpose(0, 2, 1, 3)
+        qs_t = q if q_layout == "bhsd" else q.transpose(0, 2, 1, 3)
         if sq_pad_s != Sq:
             qs_t = jnp.pad(qs_t, ((0, 0), (0, 0), (0, sq_pad_s - Sq),
                                   (0, 0)))
