@@ -139,6 +139,20 @@ def test_latency_scenarios(model):
     assert r3["mean_ms"] > 0
 
 
+def test_offered_load_sweep(model):
+    """Open-loop arrival-rate sweep: every rate reports achieved rps +
+    latency percentiles with queueing delay included."""
+    from mlio_tpu.benchmarks.scenarios import latency_under_offered_load
+
+    spec, params = model
+    r = latency_under_offered_load(spec, params, seq_len=16,
+                                   arrival_rates=(20.0, 100.0),
+                                   duration_s=0.3, num_workers=2)
+    assert [s["offered_rps"] for s in r["sweep"]] == [20.0, 100.0]
+    for s in r["sweep"]:
+        assert s["achieved_rps"] > 0 and s["p99_ms"] >= s["p50_ms"] > 0
+
+
 def test_throughput_scenarios(model):
     from mlio_tpu.benchmarks.scenarios import (
         batch_scaling_test,

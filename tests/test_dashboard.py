@@ -179,3 +179,22 @@ def test_charts_endpoint_over_http(dash):
         assert isinstance(cmp_, list) and cmp_
     finally:
         dash.shutdown()
+
+
+def test_compare_charts_include_breakdown(dash):
+    """/api/compare-charts adds the stacked per-category breakdown when the
+    result sets carry op tables (parity: reference create_breakdown_
+    comparison, visualizations.py:640-714)."""
+    dash.register_result("run_c", {
+        "results": [{"variant": "x", "mean_ms": 2.0}],
+        "op_table": {"ops": [
+            {"name": "fusion.dot.9", "total_us": 120.0},
+            {"name": "all-gather.1", "total_us": 30.0}]}})
+    dash.register_result("run_d", {
+        "results": [{"variant": "x", "mean_ms": 1.5}],
+        "op_table": {"ops": [{"name": "flash_attention", "total_us": 70.0}]}})
+    charts = dash.compare_charts(["run_c", "run_d"])
+    bd = [c for c in charts if c.get("stacked")]
+    assert len(bd) == 1
+    assert bd[0]["groups"] == ["run_c", "run_d"]
+    assert "matmul" in bd[0]["metrics"] and "attention" in bd[0]["metrics"]
