@@ -654,11 +654,60 @@ def spec_decode(model='gpt2-medium', new_tokens=256, draft_layers=8):
                                    else v for k, v in st_draft.items()}}}}
 
 
+def engine_bench(n_prompts=24, max_new=64):
+    """Continuous-batching serving throughput: InferenceEngine.run over a
+    mixed-length prompt set on the paged KV cache (prefill bucketing,
+    admission, block allocation, batched decode). Reports decode tok/s;
+    vs_baseline = fraction of the same-model generate() throughput at the
+    engine's max_batch (the engine's scheduling overhead + partial batches
+    are the gap — parity artifact for the serving runtime the reference
+    sketches but never finishes, inference.py:1093,1215 TODOs)."""
+    import numpy as np
+
+    from mlio_tpu.models import Impl, get_spec, init_params
+    from mlio_tpu.runtime import generate
+    from mlio_tpu.runtime.engine import InferenceEngine
+
+    spec = get_spec("gpt2")
+    params = init_params(spec, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    impl = Impl(attention="flash", norm="fused")
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(0, spec.vocab_size,
+                                 int(rng.integers(8, 120))))
+               for _ in range(n_prompts)]
+
+    engine = InferenceEngine(spec, params, max_batch=8, num_blocks=2048,
+                             impl=impl)
+    engine.run(prompts[:2], max_new_tokens=4)  # warm/compile
+    t0 = time.time()
+    outs = engine.run(prompts, max_new_tokens=max_new)
+    dt = time.time() - t0
+    assert all(len(o) == max_new for o in outs)
+    tok_s = n_prompts * max_new / dt
+
+    # reference point: plain batched generate at the same batch width
+    B = 8
+    ids = jnp.zeros((B, 128), jnp.int32)
+
+    def run(new):
+        out = generate(params, spec, ids, max_new_tokens=new, impl=impl,
+                       cache_len=512)
+        return int(out[0, -1])
+
+    gen_tok_s = B / _marginal_step(run, 32, 160)
+    return {"metric": "engine_decode_tokens_per_sec",
+            "value": round(tok_s, 1), "unit": "tok/s",
+            "vs_baseline": round(tok_s / gen_tok_s, 3),
+            "detail": {"n_prompts": n_prompts, "max_new": max_new,
+                       "generate_tok_s": round(gen_tok_s, 1)}}
+
+
 SCENARIOS = {"llama7b-int8": llama7b_int8, "gpt2-int8": gpt2_int8,
              "ring-65k": ring_65k, "flash-65k": flash_65k,
              "latency-4k": latency_4k, "llama70b-fp8": llama70b_fp8,
              "moe-13b-int8": moe_13b_int8, "ppl-gate": ppl_gate,
-             "spec-decode": spec_decode, "ring-shardmap": ring_shardmap}
+             "spec-decode": spec_decode, "ring-shardmap": ring_shardmap,
+             "engine-bench": engine_bench}
 
 
 def main():
