@@ -676,8 +676,11 @@ def engine_bench(n_prompts=24, max_new=64):
                                  int(rng.integers(8, 120))))
                for _ in range(n_prompts)]
 
+    # steps_per_dispatch=16: multi-step scheduling amortizes this remote
+    # backend's ~25ms per-dispatch relay latency (a local TPU host pays
+    # ~0.1ms; the relay makes single-stepping unrepresentative)
     engine = InferenceEngine(spec, params, max_batch=8, num_blocks=2048,
-                             impl=impl)
+                             impl=impl, steps_per_dispatch=16)
     engine.run(prompts[:2], max_new_tokens=4)  # warm/compile
     t0 = time.time()
     outs = engine.run(prompts, max_new_tokens=max_new)

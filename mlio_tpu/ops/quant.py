@@ -254,7 +254,8 @@ def _int4_group_matmul_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref,
     """Group-wise-scale int4 matmul: each block holds ``gpb`` groups of
     ``gsz`` rows; every group's partial dot is rescaled by its own
     [1, bn] scale row before accumulation (lo and hi nibble halves carry
-    independent group scales)."""
+    independent group scales). Scales arrive per-k-block, sublane-padded
+    to 8 rows (Mosaic's block rule; see the reshape in quant_matmul)."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -340,6 +341,14 @@ def quant_matmul(
                             + ((0, n_pad - N),))
         if grouped:
             gpb = bkp // g
+            # scale rows regrouped per k-block and sublane-padded to >=8
+            # (a (1, gpb<8, bn) block breaks Mosaic's 8-sublane rule):
+            # [K//g, N] -> [2*n_k, pad8(gpb), N]; lo blocks 0..n_k-1,
+            # hi blocks n_k..2*n_k-1 — same indexing as the x halves
+            spb = _round_up(gpb, 8)
+            sc = scale.reshape(2 * n_k, gpb, n_pad)
+            if spb != gpb:
+                sc = jnp.pad(sc, ((0, 0), (0, spb - gpb), (0, 0)))
             kernel = functools.partial(_int4_group_matmul_kernel, n_k=n_k,
                                        gpb=gpb, gsz=g)
             in_specs = [
@@ -347,12 +356,11 @@ def quant_matmul(
                 pl.BlockSpec((1, bm, bkp),
                              lambda m, n, k: (0, m, k + n_k)),
                 pl.BlockSpec((1, bkp, bn), lambda m, n, k: (0, k, n)),
-                pl.BlockSpec((1, gpb, bn), lambda m, n, k: (0, k, n)),
-                pl.BlockSpec((1, gpb, bn),
-                             lambda m, n, k: (0, k + n_k, n)),
+                pl.BlockSpec((1, spb, bn), lambda m, n, k: (k, 0, n)),
+                pl.BlockSpec((1, spb, bn),
+                             lambda m, n, k: (k + n_k, 0, n)),
             ]
-            args = (x2[None], x2[None], q[None],
-                    scale[None], scale[None])
+            args = (x2[None], x2[None], q[None], sc, sc)
         else:
             kernel = functools.partial(_int4_matmul_kernel, n_k=n_k)
             in_specs = [

@@ -48,6 +48,34 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
 
 
+import functools
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "impl", "k", "method"),
+                   donate_argnums=(2, 3))
+def _decode_multi_steps(params, cur, k_pool, v_pool, tables, ctx, rng, *,
+                        spec, impl, k, method):
+    """k decode steps in ONE dispatch (multi-step scheduling): the host
+    preallocates k tokens of blocks per slot (scheduler.plan_multi_step)
+    so the whole chunk runs as a lax.scan with no host round-trips —
+    per-dispatch latency is amortized k-fold. Returns (tokens [k, B],
+    pools)."""
+    from mlio_tpu.runtime.paged_forward import decode_paged
+
+    def step(carry, rng_i):
+        cur, kp, vp, ctx = carry
+        logits, kp, vp = decode_paged(params, spec, cur, kp, vp, tables,
+                                      ctx, impl=impl)
+        tok = sample(logits, rng_i, method).astype(jnp.int32)
+        return (tok, kp, vp, ctx + 1), tok
+
+    rngs = jax.random.split(rng, k)
+    (cur, kp, vp, ctx), toks = jax.lax.scan(
+        step, (cur, k_pool, v_pool, ctx), rngs)
+    return toks, kp, vp
+
+
 class _ManagerView:
     """Block-accounting view over whichever scheduler backend is active."""
 
@@ -79,8 +107,13 @@ class InferenceEngine:
         rng: Optional[jax.Array] = None,
         scheduler: str = "auto",
         prefix_caching: bool = True,
+        steps_per_dispatch: int = 8,
     ):
         spec.validate()
+        # multi-step scheduling: up to this many decode steps run device-
+        # side per host interaction (rounded down to a power of two so jit
+        # variants stay bounded). 1 = classic step-per-dispatch.
+        self.steps_per_dispatch = steps_per_dispatch
         self.spec = spec
         self.params = params
         self.impl = impl
@@ -170,19 +203,42 @@ class InferenceEngine:
         return self.sched.num_active
 
     def step(self) -> None:
-        """Admit (+prefill) queued requests, then one batched decode step."""
+        """Admit (+prefill) queued requests, then a batched decode chunk:
+        up to ``steps_per_dispatch`` decode steps run device-side in one
+        dispatch when the scheduler can preallocate the blocks (multi-step
+        scheduling; the pure-Python scheduler implements it, the native
+        backend currently steps singly)."""
         admitted = list(self.sched.admit())
         if admitted:
             self._prefill_batch(admitted)
         if self.sched.num_active:
-            logits, self.k_pool, self.v_pool = decode_paged(
-                self.params, self.spec, jnp.asarray(self.sched.cur),
-                self.k_pool, self.v_pool, jnp.asarray(self.sched.tables),
-                jnp.asarray(self.sched.ctx), impl=self.impl)
-            self.rng, sub = jax.random.split(self.rng)
-            toks = np.asarray(jax.device_get(sample(logits, sub, self.method)),
-                              np.int32)
-            self.sched.commit_tokens(toks)
+            k = 1
+            if (self.steps_per_dispatch > 1
+                    and hasattr(self.sched, "plan_multi_step")):
+                k = max(1, self.sched.plan_multi_step(
+                    self.steps_per_dispatch))
+                k = 1 << (k.bit_length() - 1)  # pow2: bounded jit variants
+            if k > 1:
+                self.rng, sub = jax.random.split(self.rng)
+                toks, self.k_pool, self.v_pool = _decode_multi_steps(
+                    self.params, jnp.asarray(self.sched.cur),
+                    self.k_pool, self.v_pool,
+                    jnp.asarray(self.sched.tables),
+                    jnp.asarray(self.sched.ctx), sub, spec=self.spec,
+                    impl=self.impl, k=k, method=self.method)
+                self.sched.commit_tokens_multi(
+                    np.asarray(jax.device_get(toks), np.int32))
+            else:
+                logits, self.k_pool, self.v_pool = decode_paged(
+                    self.params, self.spec, jnp.asarray(self.sched.cur),
+                    self.k_pool, self.v_pool,
+                    jnp.asarray(self.sched.tables),
+                    jnp.asarray(self.sched.ctx), impl=self.impl)
+                self.rng, sub = jax.random.split(self.rng)
+                toks = np.asarray(
+                    jax.device_get(sample(logits, sub, self.method)),
+                    np.int32)
+                self.sched.commit_tokens(toks)
         self._drain_finished()
 
     def run(self, prompts: Sequence[Sequence[int]], max_new_tokens: int = 32,

@@ -329,6 +329,50 @@ class PyScheduler:
                 sl.blocks.append(b)
         return done
 
+    def plan_multi_step(self, k_max: int) -> int:
+        """Largest k <= k_max every active slot can decode WITHOUT host
+        intervention (vLLM-style multi-step scheduling): bounded by each
+        slot's remaining-token budget, with the KV blocks for the next k
+        tokens PREALLOCATED here so the device can run k decode steps in
+        one dispatch. EOS finishes mid-chunk are exact — commit trims at
+        the EOS and discards the overshoot. Never preempts to create
+        speculative headroom: on block shortage k shrinks instead."""
+        active = [s for s in range(self.max_batch) if self.slots[s].active]
+        if not active:
+            return 0
+        k = k_max
+        for s in active:
+            r = self.slots[s].req
+            k = min(k, r.max_new - len(r.output))
+        k = max(k, 1)
+        while True:
+            ok = True
+            for s in active:
+                sl = self.slots[s]
+                needed = min((int(self.ctx[s]) + k + self.block_size - 1)
+                             // self.block_size, self.max_blocks_per_seq)
+                while len(sl.blocks) < needed:
+                    b = self.mgr.allocate()
+                    if b < 0:
+                        ok = False
+                        break
+                    self.tables[s, len(sl.blocks)] = b
+                    sl.blocks.append(b)
+                if not ok:
+                    break
+            if ok or k == 1:
+                return k
+            k = max(1, k // 2)
+
+    def commit_tokens_multi(self, tokens_steps) -> int:
+        """Commit k decode steps' tokens [k, max_batch]: row by row through
+        the single-step commit, so a slot that finishes (length or EOS) at
+        step j skips its rows > j (overshoot trim)."""
+        done = 0
+        for row in np.asarray(tokens_steps, np.int32):
+            done += self.commit_tokens(row)
+        return done
+
     # -- introspection ---------------------------------------------------------
 
     @property

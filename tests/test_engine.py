@@ -124,3 +124,38 @@ def test_engine_prefix_cache_default_on(model):
         dense = greedy_generate(params, spec, jnp.asarray([p]),
                                 max_new_tokens=4)
         assert out == np.asarray(dense)[0, len(p):].tolist()
+
+
+def test_engine_multi_step_matches_single_step(model):
+    """Multi-step scheduling (k decode steps per dispatch) must produce the
+    same greedy tokens as classic step-per-dispatch, including mixed
+    prompt lengths and blocks allocated mid-chunk."""
+    spec, params = model
+    prompts = [[5, 9, 2, 7], [11, 3], [1, 2, 3, 4, 5, 6, 7], [8, 8]]
+    T = 11  # non-pow2: forces k = 8 then 2 then 1 chunks
+
+    multi = InferenceEngine(spec, params, max_batch=4, max_seq_len=64,
+                            dtype=jnp.float32, steps_per_dispatch=8,
+                            method=SamplingMethod(temperature=0.0))
+    single = InferenceEngine(spec, params, max_batch=4, max_seq_len=64,
+                             dtype=jnp.float32, steps_per_dispatch=1,
+                             method=SamplingMethod(temperature=0.0))
+    assert multi.run(prompts, max_new_tokens=T) == \
+        single.run(prompts, max_new_tokens=T)
+
+
+def test_engine_multi_step_eos_trims_overshoot(model):
+    """A sequence hitting EOS mid-chunk must stop AT the EOS token: the
+    overshoot tokens the device computed are discarded at commit."""
+    spec, params = model
+    # discover what greedy emits, then declare its 3rd new token the EOS
+    probe = InferenceEngine(spec, params, max_batch=2, max_seq_len=64,
+                            dtype=jnp.float32,
+                            method=SamplingMethod(temperature=0.0))
+    ref = probe.run([[5, 9, 2, 7]], max_new_tokens=8)[0]
+    eos = ref[2]
+    eng = InferenceEngine(spec, params, max_batch=2, max_seq_len=64,
+                          dtype=jnp.float32, steps_per_dispatch=8,
+                          method=SamplingMethod(temperature=0.0))
+    out = eng.run([[5, 9, 2, 7]], max_new_tokens=8, eos_token=eos)[0]
+    assert out == ref[:3], (out, ref)
