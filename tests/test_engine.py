@@ -159,3 +159,20 @@ def test_engine_multi_step_eos_trims_overshoot(model):
                           method=SamplingMethod(temperature=0.0))
     out = eng.run([[5, 9, 2, 7]], max_new_tokens=8, eos_token=eos)[0]
     assert out == ref[:3], (out, ref)
+
+
+def test_engine_multi_step_under_block_pressure(model):
+    """With barely enough blocks, plan_multi_step must shrink k instead of
+    preempting, and outputs still match the dense path."""
+    spec, params = model
+    prompts = [[5, 9, 2, 7], [11, 3, 6, 1]]
+    T = 10
+    eng = InferenceEngine(spec, params, max_batch=2, max_seq_len=32,
+                          num_blocks=3, block_size=16, dtype=jnp.float32,
+                          steps_per_dispatch=8,
+                          method=SamplingMethod(temperature=0.0))
+    outs = eng.run(prompts, max_new_tokens=T)
+    for p, out in zip(prompts, outs):
+        dense = greedy_generate(params, spec, jnp.asarray([p]),
+                                max_new_tokens=T)
+        assert out == np.asarray(dense)[0, len(p):].tolist()
