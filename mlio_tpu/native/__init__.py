@@ -76,6 +76,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         "mlio_sched_commit_prefill": ([ctypes.c_void_p, ctypes.c_int,
                                        ctypes.c_int32], ctypes.c_int),
         "mlio_sched_commit_tokens": ([ctypes.c_void_p, i32p], ctypes.c_int),
+        "mlio_sched_plan_multi_step": ([ctypes.c_void_p, ctypes.c_int],
+                                       ctypes.c_int),
         "mlio_sched_tables": ([ctypes.c_void_p], i32p),
         "mlio_sched_ctx": ([ctypes.c_void_p], i32p),
         "mlio_sched_cur": ([ctypes.c_void_p], i32p),
@@ -248,6 +250,17 @@ class NativeScheduler:
         t = _as_i32(tokens)
         assert len(t) == self.max_batch
         return self._lib.mlio_sched_commit_tokens(self._h, _i32p(t))
+
+    def plan_multi_step(self, k_max: int) -> int:
+        """Multi-step scheduling plan (see the C++ twin): preallocates the
+        chunk's KV blocks and returns the feasible k <= k_max."""
+        return self._lib.mlio_sched_plan_multi_step(self._h, int(k_max))
+
+    def commit_tokens_multi(self, tokens_steps) -> int:
+        done = 0
+        for row in np.asarray(tokens_steps, np.int32):
+            done += self.commit_tokens(row)
+        return done
 
     @property
     def num_active(self) -> int:

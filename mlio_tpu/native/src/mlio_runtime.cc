@@ -377,6 +377,44 @@ struct Scheduler {
     return done;
   }
 
+  // Multi-step scheduling plan: largest k <= k_max every active slot can
+  // decode WITHOUT host intervention — bounded by each slot's remaining
+  // generation budget, with the chunk's KV blocks PREALLOCATED here so
+  // the device can scan k paged-decode steps in one dispatch. EOS
+  // finishes mid-chunk stay exact: commit (called per row) trims at the
+  // EOS. Never preempts for speculative headroom — on block shortage k
+  // shrinks instead. Returns 0 when nothing is active.
+  int plan_multi_step(int k_max) {
+    int k = k_max;
+    bool any = false;
+    for (int s = 0; s < max_batch; ++s) {
+      Slot& sl = slots[s];
+      if (!sl.active) continue;
+      any = true;
+      int remaining = sl.req.max_new - static_cast<int>(sl.req.output.size());
+      if (remaining < k) k = remaining;
+    }
+    if (!any) return 0;
+    if (k < 1) k = 1;
+    for (;;) {
+      bool ok = true;
+      for (int s = 0; s < max_batch && ok; ++s) {
+        Slot& sl = slots[s];
+        if (!sl.active) continue;
+        int needed = (ctx[s] + k + block_size - 1) / block_size;
+        if (needed > max_blocks_per_seq) needed = max_blocks_per_seq;
+        while (static_cast<int>(sl.blocks.size()) < needed) {
+          int b = mgr.allocate();
+          if (b < 0) { ok = false; break; }
+          table_row(s)[sl.blocks.size()] = b;
+          sl.blocks.push_back(b);
+        }
+      }
+      if (ok || k == 1) return k;
+      k = k / 2 > 0 ? k / 2 : 1;
+    }
+  }
+
   int num_active() const {
     int n = 0;
     for (const Slot& s : slots) n += s.active;
@@ -463,6 +501,10 @@ long long mlio_sched_slot_req_id(void* h, int slot) {
 int mlio_sched_commit_prefill(void* h, int slot, int32_t token) {
   return static_cast<Scheduler*>(h)->commit_prefill(slot, token);
 }
+int mlio_sched_plan_multi_step(void* h, int k_max) {
+  return static_cast<Scheduler*>(h)->plan_multi_step(k_max);
+}
+
 int mlio_sched_commit_tokens(void* h, const int32_t* tokens) {
   return static_cast<Scheduler*>(h)->commit_tokens(tokens);
 }

@@ -71,9 +71,13 @@ def quantize_params(
         lm = params["lm_head"]
         if donate:
             params["lm_head"] = None
+        # head-precision floor: the lm_head feeds logits directly, and int4
+        # there costs ~1% rel ppl on its own (measured) — keep the head at
+        # int8 when the body is int4 (the llama.cpp/AWQ deployment recipe)
+        head_fmt = "int8" if weights == "int4" else weights
         out["lm_head"] = (
-            jax.jit(lambda w: quantize(w, weights), donate_argnums=0)(lm)
-            if donate else quantize(lm, weights))
+            jax.jit(lambda w: quantize(w, head_fmt), donate_argnums=0)(lm)
+            if donate else quantize(lm, head_fmt))
     return out
 
 
@@ -471,10 +475,14 @@ def streamed_quantized_init(spec: ModelSpec, key: jax.Array,
         "final_scale": jnp.ones((h,), dtype),
         "final_bias": maybe_zeros((h,), spec.norm == "layernorm"),
         # lm_head quantized like the serving benches (leaf-streamed: the
-        # bf16 head is regenerated, quantized, and freed like the blocks)
+        # bf16 head is regenerated, quantized, and freed like the blocks);
+        # int4 bodies keep an int8 head (head-precision floor — see
+        # quantize_params)
         "lm_head": (None if spec.tie_embeddings
                     else jax.block_until_ready(jax.jit(
-                        lambda x: quantize(x, weights), donate_argnums=0)(
+                        lambda x: quantize(
+                            x, "int8" if weights == "int4" else weights),
+                        donate_argnums=0)(
                             w(keys[7], (h, spec.vocab_size), h)))),
         "lm_head_bias": (jnp.zeros((spec.vocab_size,), dtype)
                          if spec.use_head_bias else None),
