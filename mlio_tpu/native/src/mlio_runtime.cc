@@ -385,17 +385,15 @@ struct Scheduler {
   // EOS. Never preempts for speculative headroom — on block shortage k
   // shrinks instead. Returns 0 when nothing is active.
   int plan_multi_step(int k_max) {
-    int k = k_max;
     bool any = false;
     for (int s = 0; s < max_batch; ++s) {
-      Slot& sl = slots[s];
-      if (!sl.active) continue;
-      any = true;
-      int remaining = sl.req.max_new - static_cast<int>(sl.req.output.size());
-      if (remaining < k) k = remaining;
+      if (slots[s].active) { any = true; break; }
     }
     if (!any) return 0;
-    if (k < 1) k = 1;
+    // no remaining-budget cap: length/EOS finishes are trimmed at commit,
+    // so k stays constant (one jit variant) at the cost of <= k-1
+    // discarded device steps per finishing sequence
+    int k = k_max > 0 ? k_max : 1;
     for (;;) {
       bool ok = true;
       for (int s = 0; s < max_batch && ok; ++s) {

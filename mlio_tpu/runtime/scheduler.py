@@ -340,11 +340,12 @@ class PyScheduler:
         active = [s for s in range(self.max_batch) if self.slots[s].active]
         if not active:
             return 0
-        k = k_max
-        for s in active:
-            r = self.slots[s].req
-            k = min(k, r.max_new - len(r.output))
-        k = max(k, 1)
+        # No remaining-budget cap: a slot that hits its max_new (or EOS)
+        # mid-chunk is trimmed at commit, so k stays CONSTANT across the
+        # request lifetime — one jit variant instead of a shrinking tail
+        # (k, k/2, ..., 1), at the cost of <= k-1 discarded device steps
+        # per finishing sequence.
+        k = max(k_max, 1)
         while True:
             ok = True
             for s in active:

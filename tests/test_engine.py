@@ -93,8 +93,11 @@ def test_engine_batched_ragged_prefill(model):
     prompts = [[5, 9, 2], [11, 3, 8, 1, 4], [7], [2, 6, 9, 9, 1, 3],
                [4, 4, 4, 4], [1, 2]]
     T = 5
+    # steps_per_dispatch=1: this test checks ADMISSION batching, so each
+    # step must advance exactly one token (multi-step would finish the
+    # whole budget in the first chunk)
     engine = InferenceEngine(spec, params, max_batch=8, max_seq_len=64,
-                             dtype=jnp.float32,
+                             dtype=jnp.float32, steps_per_dispatch=1,
                              method=SamplingMethod(temperature=0.0))
     # submit everything BEFORE stepping so one admit round sees all prompts
     ids = [engine.submit(p, T) for p in prompts]
