@@ -681,7 +681,10 @@ def engine_bench(n_prompts=24, max_new=64):
     # ~0.1ms; the relay makes single-stepping unrepresentative)
     engine = InferenceEngine(spec, params, max_batch=8, num_blocks=2048,
                              impl=impl, steps_per_dispatch=16)
-    engine.run(prompts[:2], max_new_tokens=4)  # warm/compile
+    # warm with a REPRESENTATIVE wave: full admission width + both prompt
+    # buckets + the k=16 decode chunk, so no jit variant compiles inside
+    # the timed window
+    engine.run(prompts[:8], max_new_tokens=16)
     t0 = time.time()
     outs = engine.run(prompts, max_new_tokens=max_new)
     dt = time.time() - t0
