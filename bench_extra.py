@@ -691,8 +691,47 @@ def engine_bench(n_prompts=24, max_new=64):
     assert all(len(o) == max_new for o in outs)
     tok_s = n_prompts * max_new / dt
 
-    # reference point: plain batched generate at the same batch width
+    # Denominator: the RAW paged-decode throughput at full batch (an
+    # in-jit scan over decode_paged — the device work the engine drives),
+    # so vs_baseline isolates the ENGINE's overhead: host scheduling,
+    # dispatch latency (~25 ms/chunk on this relay backend; ~0.1 ms on a
+    # local TPU host), prefill waves and partial batches. The megakernel
+    # generate() number is recorded for context (contiguous cache, no
+    # admission — a different machine).
+    import functools
+
     B = 8
+    kp2, vp2 = engine.k_pool, engine.v_pool
+    tables = jnp.asarray(engine.sched.tables)
+    ctx = jnp.full((B,), 128, jnp.int32)
+    cur = jnp.zeros((B,), jnp.int32)
+    from mlio_tpu.runtime.paged_forward import decode_paged
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_n(cur, kp, vp, ctx, n):
+        def step(carry, _):
+            cur, kp, vp, ctx = carry
+            logits, kp, vp = decode_paged(params, spec, cur, kp, vp,
+                                          tables, ctx, impl=impl)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (tok, kp, vp, ctx + 1), ()
+        (cur, kp, vp, ctx), _ = jax.lax.scan(step, (cur, kp, vp, ctx),
+                                             None, length=n)
+        return cur
+
+    def f(n):
+        return int(run_n(cur, kp2, vp2, ctx, n)[0])
+
+    f(8), f(40)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time(); f(8); tl = time.time() - t0
+        t0 = time.time(); f(40); th = time.time() - t0
+        m = (th - tl) / 32
+        if m > 0:
+            best = min(best, m)
+    paged_tok_s = B / best
+
     ids = jnp.zeros((B, 128), jnp.int32)
 
     def run(new):
@@ -703,9 +742,14 @@ def engine_bench(n_prompts=24, max_new=64):
     gen_tok_s = B / _marginal_step(run, 32, 160)
     return {"metric": "engine_decode_tokens_per_sec",
             "value": round(tok_s, 1), "unit": "tok/s",
-            "vs_baseline": round(tok_s / gen_tok_s, 3),
+            "vs_baseline": round(tok_s / paged_tok_s, 3),
             "detail": {"n_prompts": n_prompts, "max_new": max_new,
-                       "generate_tok_s": round(gen_tok_s, 1)}}
+                       "paged_raw_tok_s": round(paged_tok_s, 1),
+                       "generate_megakernel_tok_s": round(gen_tok_s, 1),
+                       "note": "vs_baseline = fraction of raw paged-decode "
+                               "throughput; remaining gap is host "
+                               "scheduling + this backend's ~25ms relay "
+                               "dispatch per 16-step chunk"}}
 
 
 SCENARIOS = {"llama7b-int8": llama7b_int8, "gpt2-int8": gpt2_int8,
