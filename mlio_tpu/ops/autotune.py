@@ -425,9 +425,6 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
 TILED_CANDIDATES = tuple(
     {"cache_block": cb, "kv_depth": kd}
     for cb in (64, 128, 256, 512) for kd in (2, 3))
-_TILED_CANDIDATES_LEGACY = ({"cache_block": 64}, {"cache_block": 128},
-                    {"cache_block": 256}, {"cache_block": 512})
-
 
 def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
                       prompt: int = 704, cache_len: int = 1024,
