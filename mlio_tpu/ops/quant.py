@@ -73,7 +73,7 @@ def quantize_int8(w: jax.Array) -> QTensor:
     return QTensor(q, scale.astype(jnp.float32), "int8")
 
 
-def int4_group_size(K: int, group_size: int = 64) -> Optional[int]:
+def int4_group_size(K: int, group_size: int = 128) -> Optional[int]:
     """Largest power-of-two group <= group_size that aligns with the halves
     packing (groups must not straddle the lo/hi nibble boundary at K/2).
     None -> no viable grouping (fall back to per-channel)."""
@@ -85,12 +85,13 @@ def int4_group_size(K: int, group_size: int = 64) -> Optional[int]:
     return None
 
 
-def quantize_int4(w: jax.Array, group_size: Optional[int] = 64) -> QTensor:
+def quantize_int4(w: jax.Array, group_size: Optional[int] = 128) -> QTensor:
     """Symmetric INT4, packed 2 values/byte along K, with GROUP-WISE scales
     (g input rows share one scale per output channel — the outlier-
     suppression mechanism per-channel int4 lacks; rel-ppl at 7B geometry
-    measured -4.7% per-channel vs <1% grouped; the g=64 default measured
-    0.87% vs 1.12% at g=128 on the tied-head gpt2-xl leg). ``group_size=None`` keeps
+    measured -4.7% per-channel vs ~0.6-1.1% grouped — the residual sits at
+    the random-init proxy's resolution: g=64 vs g=128 flips which gate leg
+    is better by ~1pp in both directions). ``group_size=None`` keeps
     the per-output-channel layout (scale [N]); otherwise scale is
     [K//g, N] and the matmul kernel rescales each group's partial sum.
 
