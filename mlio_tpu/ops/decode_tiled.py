@@ -363,7 +363,9 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
         # w_up / w_gate ride the AUTO pipeline; only w_down streams via the
         # pool. Measured perf-neutral vs all-manual (the step stays
         # HBM-stream-bound either way: pipeline + manual fetches appear to
-        # share the same practical ~650-750 GB/s in-kernel ceiling on v5e),
+        # share the same practical ~760 GB/s in-kernel ceiling on v5e —
+        # the same-process limit every stream pattern converges to,
+        # dma_bench.py),
         # but it frees pool VMEM (up/mid buffers shrink to the attention
         # widths), giving the chunk-size search more headroom.
         # MoE: w_down is the expert-flattened [L*E, I, H] stack.
