@@ -593,7 +593,7 @@ def spec_decode(model='gpt2-medium', new_tokens=256, draft_layers=8):
     # gamma tuned per acceptance, the way a serving deployment would run it
     # (high-acceptance drafts amortize the verify round over more tokens)
     controlled = {}
-    for accept, gamma in ((1.0, 12), (0.75, 6), (0.5, 4)):
+    for accept, gamma in ((1.0, 24), (0.75, 6), (0.5, 4)):
         st = {}
         t = _time(oracle_run(accept, gamma, st), warm=1)
         controlled[f"accept_{accept}"] = {
