@@ -58,8 +58,12 @@ def main():
     # only ADDS time, so each side's minimum approaches its true time;
     # differencing per-rep pairs lets one inflated T_lo fabricate an
     # impossibly small or negative marginal.
+    # In-process best-of-N with recorded spread: the shared chip shows
+    # ±5-9% cross-run variance (co-tenant contention), so the captured
+    # number takes the min over enough draws to escape a bad window and
+    # reports how tight the lower tail was.
     lows, highs = [], []
-    for _ in range(5):
+    for _ in range(10):
         t0 = time.time()
         run(N_LO)
         lows.append(time.time() - t0)
@@ -67,6 +71,8 @@ def main():
         run(N_HI)
         highs.append(time.time() - t0)
     best = (min(highs) - min(lows)) / (N_HI - N_LO)
+    second = (sorted(highs)[1] - min(lows)) / (N_HI - N_LO)
+    spread = (second - best) / best  # gap min -> 2nd-best, lower tail width
     tok_s = BATCH / best
 
     # HBM roofline for batched decode: weights once per step + the KV
@@ -83,11 +89,12 @@ def main():
         "value": round(tok_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(tok_s / roofline_tok_s, 3),
+        "spread": round(spread, 4),
     }))
     print(f"# backend={backend} batch={BATCH} prompt={PROMPT} "
           f"marginal={N_LO}->{N_HI} avg_ctx={avg_ctx} "
-          f"step={best * 1e3:.3f}ms roofline={roofline_tok_s:.0f}",
-          file=sys.stderr)
+          f"step={best * 1e3:.3f}ms roofline={roofline_tok_s:.0f} "
+          f"spread={spread * 100:.1f}%", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -206,8 +206,8 @@ class InferenceEngine:
         """Admit (+prefill) queued requests, then a batched decode chunk:
         up to ``steps_per_dispatch`` decode steps run device-side in one
         dispatch when the scheduler can preallocate the blocks (multi-step
-        scheduling; the pure-Python scheduler implements it, the native
-        backend currently steps singly)."""
+        scheduling; both the pure-Python scheduler and the native C++
+        backend implement ``plan_multi_step``)."""
         admitted = list(self.sched.admit())
         if admitted:
             self._prefill_batch(admitted)
