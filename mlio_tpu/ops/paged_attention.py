@@ -141,6 +141,35 @@ def reshape_and_cache(
     return k_pool, v_pool
 
 
+def reshape_and_cache_flat(
+    pool: jax.Array,        # [L, NB, bsz, W] FLAT head layout
+    new: jax.Array,         # [B, S_new, W] (W = Hkv*D, or 2*Hkv*D combined)
+    block_tables: jax.Array,
+    write_pos: jax.Array,
+    layer,
+) -> jax.Array:
+    """Flat-pool twin of reshape_and_cache for the paged megakernel's pool
+    layout (ops/decode_paged_stack.py): rows stay [W] so no head split."""
+    B, S_new, W = new.shape
+    bs = pool.shape[2]
+    pos = write_pos[:, None] + jnp.arange(S_new)[None, :]
+    logical = pos // bs
+    offset = pos % bs
+    physical = jnp.take_along_axis(block_tables, logical, axis=1)
+    flat_idx = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (B, S_new)),
+        physical, offset], axis=-1).reshape(-1, 3)
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),
+        inserted_window_dims=(0, 1, 2),
+        scatter_dims_to_operand_dims=(0, 1, 2),
+    )
+    return lax.scatter(pool, flat_idx,
+                       new.reshape(B * S_new, W).astype(pool.dtype), dnums,
+                       indices_are_sorted=False, unique_indices=True,
+                       mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 # ---------------------------------------------------------------------------
 # Paged decode attention kernel
 # ---------------------------------------------------------------------------

@@ -52,6 +52,56 @@ import functools
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("spec", "k", "method", "kv_combined",
+                                    "interpret", "lm_vmajor", "lm_V",
+                                    "lm_Vc"),
+                   donate_argnums=(3, 4))
+def _decode_mega_steps(params, lm_w, cur, k_pool, v_pool, tables, ctx, rng,
+                       *, spec, k, method, kv_combined, interpret,
+                       lm_vmajor, lm_V, lm_Vc):
+    """k decode steps through the PAGED MEGAKERNEL in one dispatch: each
+    step is embedding + ONE pallas_call over the block-table pools + one
+    pool scatter (ops/decode_paged_stack.py) — the engine's hot loop runs
+    at megakernel speed instead of ~100 XLA ops/step. Greedy sampling
+    happens inside the kernel (argmax epilogue, logits never reach HBM);
+    other methods take the kernel's streamed-logits output."""
+    from mlio_tpu.ops.decode_paged_stack import (decode_paged_stack,
+                                                 rope_tables_for_paged)
+
+    greedy = method.temperature == 0.0
+
+    def step(carry, rng_i):
+        cur, kp, vp, ctx = carry
+        past = ctx - 1
+        x = params["tok_embed"][cur]
+        if spec.embed_scale is not None:
+            x = x * jnp.asarray(spec.embed_scale, x.dtype)
+        rope = None
+        if spec.positional == "learned":
+            x = x + params["pos_embed"][past].astype(x.dtype)
+        else:
+            rope = rope_tables_for_paged(spec, past, spec.num_heads,
+                                         spec.num_kv_heads)
+        out, kp, vp = decode_paged_stack(
+            x, params["blocks"], kp, vp, tables, past, rope, spec=spec,
+            head_norm=(params["final_scale"], params["final_bias"]),
+            lm_head=lm_w, lm_head_bias=params.get("lm_head_bias"),
+            lm_vmajor=lm_vmajor, vocab_chunk=lm_Vc, vocab_size=lm_V,
+            emit="greedy" if greedy else "logits",
+            kv_combined=kv_combined, interpret=interpret)
+        if greedy:
+            tok = out.astype(jnp.int32)
+        else:
+            tok = sample(out[:, :lm_V], rng_i, method).astype(jnp.int32)
+        return (tok, kp, vp, ctx + 1), tok
+
+    rngs = jax.random.split(rng, k)
+    (cur, kp, vp, ctx), toks = jax.lax.scan(
+        step, (cur, k_pool, v_pool, ctx), rngs)
+    return toks, kp, vp
+
+
+@functools.partial(jax.jit,
                    static_argnames=("spec", "impl", "k", "method"),
                    donate_argnums=(2, 3))
 def _decode_multi_steps(params, cur, k_pool, v_pool, tables, ctx, rng, *,
@@ -108,6 +158,7 @@ class InferenceEngine:
         scheduler: str = "auto",
         prefix_caching: bool = True,
         steps_per_dispatch: int = 8,
+        decode_stack: str = "auto",
     ):
         spec.validate()
         # multi-step scheduling: up to this many decode steps run device-
@@ -128,9 +179,40 @@ class InferenceEngine:
             self.prefill_buckets.append(self.max_seq_len)
         if num_blocks is None:
             num_blocks = max_batch * self.max_blocks_per_seq + 1
-        self.k_pool, self.v_pool = init_kv_pools(
-            spec.num_layers, num_blocks, spec.num_kv_heads, block_size,
-            spec.head_size, dtype=dtype)
+        # Decode backend: "mega" runs each decode step as ONE pallas_call
+        # over the paged pools (ops/decode_paged_stack.py) — the engine's
+        # default whenever the model fits the megakernel's constraints.
+        # "perop" is the lax.scan per-op path (runtime/paged_forward.py).
+        from mlio_tpu.ops.decode_paged_stack import supports_paged_stack
+
+        use_mega = decode_stack == "mega" or (
+            decode_stack == "auto"
+            and supports_paged_stack(spec, params.get("blocks")))
+        self.decode_stack = "mega" if use_mega else "perop"
+        self.interpret = (impl.interpret if impl.interpret is not None
+                          else jax.default_backend() != "tpu")
+        if use_mega:
+            # FLAT pools (no head dim): k|v pack onto one buffer's lanes
+            # when the lane split lands on a 128 boundary (one DMA per
+            # block per sequence in-kernel), else twin flat pools.
+            self.kv_combined = spec.kv_dim % 128 == 0
+            W = 2 * spec.kv_dim if self.kv_combined else spec.kv_dim
+            self.k_pool = jnp.zeros(
+                (spec.num_layers, num_blocks, block_size, W), dtype)
+            self.v_pool = None if self.kv_combined else jnp.zeros(
+                (spec.num_layers, num_blocks, block_size, W), dtype)
+            from mlio_tpu.ops.decode_layer import pad_lm_head_for_mega
+
+            lm_w = (params["lm_head"] if params.get("lm_head") is not None
+                    else params["tok_embed"])
+            self._lm_vmajor = params.get("lm_head") is None
+            # pad ONCE at init — an O(V*H) copy must not ride the hot loop
+            self._lm_w, self._lm_V, self._lm_Vc = pad_lm_head_for_mega(
+                lm_w, self._lm_vmajor)
+        else:
+            self.k_pool, self.v_pool = init_kv_pools(
+                spec.num_layers, num_blocks, spec.num_kv_heads, block_size,
+                spec.head_size, dtype=dtype)
         self.sched = make_scheduler(max_batch, num_blocks, block_size,
                                     self.max_blocks_per_seq,
                                     prefix_caching, backend=scheduler)
@@ -218,7 +300,22 @@ class InferenceEngine:
                 k = max(1, self.sched.plan_multi_step(
                     self.steps_per_dispatch))
                 k = 1 << (k.bit_length() - 1)  # pow2: bounded jit variants
-            if k > 1:
+            if self.decode_stack == "mega":
+                self.rng, sub = jax.random.split(self.rng)
+                toks, self.k_pool, self.v_pool = _decode_mega_steps(
+                    self.params, self._lm_w, jnp.asarray(self.sched.cur),
+                    self.k_pool, self.v_pool,
+                    jnp.asarray(self.sched.tables),
+                    jnp.asarray(self.sched.ctx), sub, spec=self.spec,
+                    k=k, method=self.method, kv_combined=self.kv_combined,
+                    interpret=self.interpret, lm_vmajor=self._lm_vmajor,
+                    lm_V=self._lm_V, lm_Vc=self._lm_Vc)
+                toks = np.asarray(jax.device_get(toks), np.int32)
+                if k > 1:
+                    self.sched.commit_tokens_multi(toks)
+                else:
+                    self.sched.commit_tokens(toks[0])
+            elif k > 1:
                 self.rng, sub = jax.random.split(self.rng)
                 toks, self.k_pool, self.v_pool = _decode_multi_steps(
                     self.params, jnp.asarray(self.sched.cur),

@@ -21,7 +21,8 @@ from mlio_tpu import ops
 from mlio_tpu.models.spec import ModelSpec
 from mlio_tpu.models.transformer import (Impl, apply_rope, rope_cos_sin,
                                           _split_heads, _qkv_proj, _run_mlp)
-from mlio_tpu.ops.paged_attention import paged_attention, reshape_and_cache
+from mlio_tpu.ops.paged_attention import (paged_attention, reshape_and_cache,
+                                          reshape_and_cache_flat)
 
 
 def _embed(params, spec, ids, positions):
@@ -50,8 +51,13 @@ def prefill_paged(
     """Prefill: write K/V for all S positions, return last-valid-token logits.
 
     Returns (logits [B, V], k_pool, v_pool).
+
+    Flat pools (ndim == 4, the paged-megakernel layout of
+    ops/decode_paged_stack.py) are written through reshape_and_cache_flat;
+    ``v_pool=None`` means k|v are combined on the lanes of ``k_pool``.
     """
     B, S = ids.shape
+    flat = k_pool.ndim == 4
     positions = write_pos[:, None] + jnp.arange(S)[None, :]
     x, (cos, sin) = _embed(params, spec, ids, positions)
     dtype = x.dtype
@@ -68,8 +74,22 @@ def prefill_paged(
         if cos is not None:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-        k_pool, v_pool = reshape_and_cache(k_pool, v_pool, k, v,
-                                           block_tables, write_pos, layer)
+        if flat:
+            kfl = k.reshape(B, S, -1)
+            vfl = v.reshape(B, S, -1)
+            if v_pool is None:  # combined k|v lanes
+                k_pool = reshape_and_cache_flat(
+                    k_pool, jnp.concatenate([kfl, vfl], axis=-1),
+                    block_tables, write_pos, layer)
+            else:
+                k_pool = reshape_and_cache_flat(k_pool, kfl, block_tables,
+                                                write_pos, layer)
+                v_pool = reshape_and_cache_flat(v_pool, vfl, block_tables,
+                                                write_pos, layer)
+        else:
+            k_pool, v_pool = reshape_and_cache(k_pool, v_pool, k, v,
+                                               block_tables, write_pos,
+                                               layer)
         attn = ops.attention(q, k, v, causal=True, q_offset=0,
                              kv_len=seq_lens, impl=impl)
         x = x + ops.linear(attn.reshape(B, S, spec.q_dim), bp["wo"], bp["bo"],
