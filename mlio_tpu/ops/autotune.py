@@ -354,6 +354,29 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
             ck = jnp.concatenate([ck, cv], axis=-1)
             cv = None
 
+        # mirror the SHIPPING fused path: multi-step in-kernel (the whole
+        # greedy loop as ONE pallas_call) when the class supports it —
+        # tuning the per-step-launch variant would tune the wrong kernel
+        multi_ok = combined and not quant and (
+            spec.positional != "learned" or pe_in_kernel)
+        if multi_ok:
+            pos0 = cache["pos"]
+            x = params["tok_embed"][tok]
+            if spec.positional == "learned":
+                cs = sn = None
+            else:
+                from mlio_tpu.models.transformer import rope_cos_sin
+                cs, sn = rope_cos_sin(pos0 + jnp.arange(n), spec.rope_dim,
+                                      spec.rope_theta, jnp.float32)
+            out = decode_layer_stack(
+                x, params["blocks"], ck, cv, pos0, cs, sn, spec=spec,
+                head_norm=(params["final_scale"], params["final_bias"]),
+                lm_head=lm_w, lm_vmajor=True, vocab_chunk=vc,
+                vocab_size=lm_V, cache_block=cb, kv_combined=True,
+                kv_depth=kd, steps=n,
+                pos_embed=params["pos_embed"] if pe_in_kernel else None)
+            return out[-1][-1, :, 0]
+
         def step(carry, _):
             ck, cv, ks, vs, pos, tok = carry
             x = params["tok_embed"][tok]

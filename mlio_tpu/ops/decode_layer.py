@@ -136,13 +136,24 @@ def _quantize_heads(x, Hkv, D, hkv_pad):
 def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
                          norm, eps, activation, scale, gated, grouped,
                          cdtype, kv_quant, Hkv, L, greedy=None,
-                         combined=False, in_place=False, kv_depth=2):
+                         combined=False, in_place=False, kv_depth=2,
+                         multi=False, embed_scale=None):
     """One grid step == one transformer layer of the decode step.
 
-    With ``greedy`` = (V, Vc, vmajor), grid steps L.. are the fused greedy
-    EPILOGUE: final norm once, then one lm_head chunk per step streamed
-    through the pipeline with a running (max, argmax) in scratch; the last
-    step emits the next token ids directly — no logits ever reach HBM.
+    With ``greedy`` = (V, Vc, vmajor), grid steps (s, L..) are the fused
+    greedy EPILOGUE: final norm once, then one lm_head chunk per step
+    streamed through the pipeline with a running (max, argmax) in scratch;
+    the last step emits the next token ids directly — no logits ever reach
+    HBM.
+
+    With ``multi`` (grid (T, L + chunks)) the WHOLE greedy decode loop runs
+    in one kernel: the epilogue additionally captures the argmax token's
+    EMBEDDING row as it streams the (tied, vocab-major) lm_head — whenever
+    the running max updates, a one-hot [B, Vc] @ chunk [Vc, H] dot refreshes
+    an e_tok scratch — and step s+1's layer 0 seeds the residual from e_tok
+    instead of a host-side gather. One launch replaces T; the next step's
+    layer-0 weights prefetch during the current epilogue, so the per-step
+    pipeline ramp disappears along with the dispatch and embedding ops.
     """
     it = iter(refs)
     r = {n: (next(it) if flags[n] else None) for n in _NAMES}
@@ -166,11 +177,13 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
     slab_scr = next(it) if in_place else None
     if greedy:
         hf_scr, m_tok, i_tok = next(it), next(it), next(it)
+    e_tok = next(it) if multi else None
     pe_scr = next(it) if flags["pos_embed"] else None
     sems = next(it)
 
-    layer = pl.program_id(0)
-    pos = pos_ref[0, 0]
+    layer = pl.program_id(1)
+    step = pl.program_id(0)
+    pos = pos_ref[0, 0] + step
 
     if greedy:
         V, Vc, vmajor = greedy
@@ -188,13 +201,13 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
                 i_tok[...] = jnp.zeros((B, 1), jnp.int32)
 
             hf = hf_scr[...]
-            w = r["lm_w"][...]
+            w = r["lm_w"][...].astype(hf.dtype)
             if vmajor:  # [Vc, H] rows of a tied [V, H] embedding
-                lg = lax.dot_general(hf, w.astype(hf.dtype),
+                lg = lax.dot_general(hf, w,
                                      (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             else:       # [H, Vc] slice of an untied [H, V] head
-                lg = jnp.dot(hf, w.astype(hf.dtype),
+                lg = jnp.dot(hf, w,
                              preferred_element_type=jnp.float32)
             if r["lm_b"] is not None:
                 lg = lg + r["lm_b"][0].astype(jnp.float32)
@@ -207,15 +220,23 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
             upd = cmax > m_tok[...]
             m_tok[...] = jnp.where(upd, cmax, m_tok[...])
             i_tok[...] = jnp.where(upd, carg, i_tok[...])
+            if multi:
+                # capture the winning token's embedding row from the tied,
+                # vocab-major lm chunk as it streams by: rows where the
+                # running max updated take onehot(carg) @ chunk
+                onehot = (col == carg).astype(hf.dtype)          # [B, Vc]
+                emb = jnp.dot(onehot, w,
+                              preferred_element_type=jnp.float32)
+                e_tok[...] = jnp.where(upd, emb, e_tok[...])
 
-            @pl.when(layer == pl.num_programs(0) - 1)
+            @pl.when(layer == pl.num_programs(1) - 1)
             def _():
-                tok_out[...] = jnp.broadcast_to(i_tok[...],
-                                                tok_out.shape)
+                tok_out[...] = jnp.broadcast_to(
+                    i_tok[...], tok_out.shape)
+
 
     @pl.when(layer == 0)
     def _():
-        x = r["x"][...].astype(jnp.float32)
         if pe_scr is not None:
             # learned positional embedding folded in: one aligned 8-row DMA
             # + a masked-reduction row select (replaces an XLA gather + add
@@ -232,8 +253,21 @@ def _decode_stack_kernel(pos_ref, *refs, flags, B, Hq, D, bs,
             rows = lax.broadcasted_iota(jnp.int32, slab.shape, 0)
             row = jnp.sum(jnp.where(rows == pos - pos_align, slab, 0.0),
                           axis=0, keepdims=True)              # [1, H]
-            x = x + row
-        x_res[...] = x
+        else:
+            row = None
+
+        @pl.when(step == 0)
+        def _():
+            x = r["x"][...].astype(jnp.float32)
+            x_res[...] = x if row is None else x + row
+
+        if multi:
+            @pl.when(step > 0)
+            def _():
+                x = e_tok[...]
+                if embed_scale is not None:
+                    x = x * embed_scale
+                x_res[...] = x if row is None else x + row
 
     @pl.when(layer < L)
     def _layer_body():
@@ -270,10 +304,16 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
     # in-loop) measured faster than 2 — depth stays a tunable.
     dbuf = kv_depth >= 2
 
+    # In-place mode reads through the ALIASED OUTPUT ref: on TPU it is
+    # the same buffer as the input, but interpret mode implements aliasing
+    # by buffer handoff, so intra-kernel writes (multi-step decode) are
+    # only visible through the output ref.
+    kc_src = cache_out if cache_out is not None else r["k_cache"]
+
     def kv_copies(j, slot):
         if combined:  # k|v share lanes of one buffer: ONE DMA per block
             return (pltpu.make_async_copy(
-                r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb.at[slot],
+                kc_src.at[layer, :, pl.ds(j * bs, bs)], kb.at[slot],
                 sems.at[slot]),)
         kr = pltpu.make_async_copy(
             r["k_cache"].at[layer, :, pl.ds(j * bs, bs)], kb.at[slot],
@@ -328,7 +368,7 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
                 sems.at[2 * kv_depth + 1]).wait()
 
         slab_rd = pltpu.make_async_copy(
-            r["k_cache"].at[layer, :, pl.ds(pos_al, 8)], slab_scr,
+            kc_src.at[layer, :, pl.ds(pos_al, 8)], slab_scr,
             sems.at[2 * kv_depth])
         slab_rd.start()
     if kv_quant:
@@ -570,18 +610,20 @@ def supports_decode_stack(spec, cache_quant: bool = False,
 
 
 def _rope_consts(spec, cos, sin, heads, dtype):
-    """Flat-layout RoPE: per-lane cos/sin [1, heads*D] and the signed
+    """Flat-layout RoPE: per-lane cos/sin [N, heads*D] (N = positions,
+    usually 1; > 1 for the multi-step in-kernel decode) and the signed
     rotate-half permutation ROT [heads*D, heads*D] (x@ROT == rotate_half)."""
     D = spec.head_size
     rot = spec.rope_dim
     half = rot // 2
     n = heads * D
-    lane = jnp.arange(D)
-    cpad = jnp.where(lane < rot, jnp.concatenate(
-        [cos[0], jnp.ones((D - rot,), cos.dtype)]), 1.0)
-    spad = jnp.concatenate([sin[0], jnp.zeros((D - rot,), sin.dtype)])
-    cosf = jnp.tile(cpad, heads)[None].astype(dtype)
-    sinf = jnp.tile(spad, heads)[None].astype(dtype)
+    N = cos.shape[0]
+    cpad = jnp.concatenate(
+        [cos, jnp.ones((N, D - rot), cos.dtype)], axis=1) if D > rot else cos
+    spad = jnp.concatenate(
+        [sin, jnp.zeros((N, D - rot), sin.dtype)], axis=1) if D > rot else sin
+    cosf = jnp.tile(cpad, (1, heads)).astype(dtype)
+    sinf = jnp.tile(spad, (1, heads)).astype(dtype)
     din = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     dout = lax.broadcasted_iota(jnp.int32, (n, n), 1)
     same = (din // D) == (dout // D)
@@ -646,6 +688,7 @@ def decode_layer_stack(
     pos_embed: Optional[jax.Array] = None,  # [Smax_pos, H] learned positions
     kv_combined: bool = False,             # k|v packed on lanes of k_cache
     kv_depth: Optional[int] = None,        # KV stream buffer depth (None=auto)
+    steps: int = 1,                        # decode steps IN-KERNEL (greedy)
 ):
     """Run all layers of one decode step in a single Pallas kernel.
 
@@ -669,6 +712,13 @@ def decode_layer_stack(
     is vocab-major [V, H] (a tied embedding used as-is, no transpose copy)
     or hidden-major [H, V]. Softcap is argmax-invariant (monotonic) and
     needs no handling.
+
+    With ``steps`` > 1 the whole greedy decode loop runs in ONE launch
+    (grid (steps, L + chunks)): requires the fused epilogue with a TIED
+    vocab-major lm_head (the epilogue captures the winning token's
+    embedding row as the chunks stream by) and the in-place combined
+    cache. ``tok`` is then [steps, B]. RoPE models must pass cos/sin as
+    per-step tables [steps, rope_dim].
 
     Returns (x_out, k_cache, v_cache[, k_scales, v_scales][, tok])."""
     B, H = x.shape
@@ -823,6 +873,17 @@ def decode_layer_stack(
     # steps (identical consecutive indices skip the refetch/rewrite).
     lclamp = (lambda l: jnp.minimum(l, L - 1)) if greedy else (lambda l: l)
 
+    multi = steps > 1
+    if multi:
+        assert greedy is not None and lm_vmajor, \
+            "multi-step decode needs the fused greedy epilogue with a " \
+            "tied vocab-major lm_head (it captures the embedding row)"
+        assert kv_combined and not kv_quant, \
+            "multi-step decode needs the in-place combined cache"
+        if cos is not None:
+            assert cos.shape[0] == steps, \
+                "multi-step RoPE needs per-step cos/sin [steps, rope_dim]"
+
     in_specs = []
     args = []
     flat_idx = {}
@@ -841,52 +902,65 @@ def decode_layer_stack(
             if lm_vmajor:
                 in_specs.append(pl.BlockSpec(
                     (Vc, v.shape[1]),
-                    lambda l, *_: (jnp.maximum(l - L, 0), 0)))
+                    lambda s, l, *_: (jnp.maximum(l - L, 0), 0)))
             else:
                 in_specs.append(pl.BlockSpec(
                     (v.shape[0], Vc),
-                    lambda l, *_: (0, jnp.maximum(l - L, 0))))
+                    lambda s, l, *_: (0, jnp.maximum(l - L, 0))))
         elif n == "lm_b":
             in_specs.append(pl.BlockSpec(
-                (1, Vc), lambda l, *_: (0, jnp.maximum(l - L, 0))))
+                (1, Vc), lambda s, l, *_: (0, jnp.maximum(l - L, 0))))
         elif n in _PER_LAYER:
             shape = v.shape
             in_specs.append(pl.BlockSpec(
                 (1,) + shape[1:],
-                lambda l, *_, _nd=v.ndim: (lclamp(l),) + (0,) * (_nd - 1)))
+                lambda s, l, *_, _nd=v.ndim: (lclamp(l),)
+                + (0,) * (_nd - 1)))
+        elif multi and n in ("cosq", "sinq", "cosk", "sink"):
+            # per-step RoPE rows stream with the step grid dim
+            in_specs.append(pl.BlockSpec(
+                (1, v.shape[1]), lambda s, l, *_: (s, 0)))
         else:  # whole-array constants, fetched once
             in_specs.append(pl.BlockSpec(
-                v.shape, lambda l, *_, _nd=v.ndim: (0,) * _nd))
+                v.shape, lambda s, l, *_, _nd=v.ndim: (0,) * _nd))
 
     # In-place cache update: combined bf16 caches alias input->output and
     # the kernel slab-writes the current token itself (no XLA DUS per step).
     in_place = kv_combined and not kv_quant
     kv_out_w = 2 * KVd if kv_combined else KVd
-    out_specs = [pl.BlockSpec(x.shape, lambda l, *_: (0, 0))]
+    out_specs = [pl.BlockSpec(x.shape, lambda s, l, *_: (0, 0))]
     out_shape = [jax.ShapeDtypeStruct((B, H), x.dtype)]
     if in_place:
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(jax.ShapeDtypeStruct(kc.shape, kc.dtype))
     else:
-        out_specs.append(pl.BlockSpec((1, B, 1, kv_out_w),
-                                      lambda l, *_: (lclamp(l), 0, 0, 0)))
+        out_specs.append(pl.BlockSpec(
+            (1, B, 1, kv_out_w), lambda s, l, *_: (lclamp(l), 0, 0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((L, B, 1, kv_out_w), kc.dtype))
     if not kv_combined:
-        out_specs.append(pl.BlockSpec((1, B, 1, KVd),
-                                      lambda l, *_: (lclamp(l), 0, 0, 0)))
+        out_specs.append(pl.BlockSpec(
+            (1, B, 1, KVd), lambda s, l, *_: (lclamp(l), 0, 0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((L, B, 1, KVd), vc.dtype))
     if kv_quant:
         hkv_pad = _pad(Hkv, 8)
         assert k_scales.shape == (L, B, hkv_pad, Smax), (
             "mega path expects transposed, sublane-padded scale caches "
             "(use pad_scales_for_mega)")
-        out_specs += [pl.BlockSpec((1, B, hkv_pad, 1),
-                                   lambda l, *_: (lclamp(l), 0, 0, 0))] * 2
+        out_specs += [pl.BlockSpec(
+            (1, B, hkv_pad, 1),
+            lambda s, l, *_: (lclamp(l), 0, 0, 0))] * 2
         out_shape += [jax.ShapeDtypeStruct((L, B, hkv_pad, 1),
                                            jnp.float32)] * 2
     if greedy:
-        out_specs.append(pl.BlockSpec((B, 128), lambda l, *_: (0, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((B, 128), jnp.int32))
+        if multi:
+            out_specs.append(pl.BlockSpec((1, B, 128),
+                                          lambda s, l, *_: (s, 0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((steps, B, 128),
+                                                  jnp.int32))
+        else:
+            out_specs.append(pl.BlockSpec((B, 128),
+                                          lambda s, l, *_: (0, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((B, 128), jnp.int32))
     out_specs = tuple(out_specs)
     out_shape = tuple(out_shape)
 
@@ -895,12 +969,13 @@ def decode_layer_stack(
         norm=spec.norm, eps=spec.norm_eps, activation=spec.activation,
         scale=scale, gated=gated, grouped=G > 1, cdtype=cdtype,
         kv_quant=kv_quant, Hkv=Hkv, L=L, greedy=greedy,
-        combined=kv_combined, in_place=in_place, kv_depth=kv_depth)
+        combined=kv_combined, in_place=in_place, kv_depth=kv_depth,
+        multi=multi, embed_scale=spec.embed_scale)
 
     # pos rides in SMEM as a (1,1) operand — scalar PREFETCH measurably
     # halves pipeline throughput here and no index map needs pos, so a
     # plain grid + SMEM scalar is the right shape.
-    pos_spec = pl.BlockSpec((1, 1), lambda l, *_: (0, 0),
+    pos_spec = pl.BlockSpec((1, 1), lambda s, l, *_: (0, 0),
                             memory_space=pltpu.SMEM)
     nbuf = max(kv_depth, 1)
     scratch = [pltpu.VMEM((B, H), jnp.float32)]               # residual
@@ -917,6 +992,8 @@ def decode_layer_stack(
         scratch += [pltpu.VMEM((B, H), cdtype),          # final-norm hidden
                     pltpu.VMEM((B, 1), jnp.float32),     # running max
                     pltpu.VMEM((B, 1), jnp.int32)]       # running argmax
+    if multi:
+        scratch.append(pltpu.VMEM((B, H), jnp.float32))  # next-token embed
     if pos_embed is not None:
         scratch.append(pltpu.VMEM((8, H), pos_embed.dtype))  # pe slab
     n_sems = (2 * max(kv_depth, 2) + (2 if kv_quant else 0)
@@ -926,14 +1003,14 @@ def decode_layer_stack(
 
     outs = pl.pallas_call(
         kernel,
-        grid=(L + n_chunks,),
+        grid=(steps, L + n_chunks),
         in_specs=[pos_spec] + in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
         out_shape=out_shape,
         input_output_aliases=({flat_idx["k_cache"]: 1} if in_place else {}),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,

@@ -160,9 +160,9 @@ def _paged_stack_kernel(tab_ref, ctx_ref, *refs, flags, B, Hq, D, bsz,
             off = ctx_s[b]
             blk = tab_ref[b, off // bsz]
             off_al = pl.multiple_of(((off % bsz) // 8) * 8, 8)
-            pairs = ((r["k_pool"], kp_out, slab_k, 0),) if combined else (
-                (r["k_pool"], kp_out, slab_k, 0),
-                (r["v_pool"], vp_out, slab_v, 1))
+            pairs = ((kp_out, kp_out, slab_k, 0),) if combined else (
+                (kp_out, kp_out, slab_k, 0),
+                (vp_out, vp_out, slab_v, 1))
             cps = []
             for src, dst, scr, which in pairs:
                 sem = sems.at[(base_w if write else base_r)
@@ -191,14 +191,17 @@ def _paged_stack_kernel(tab_ref, ctx_ref, *refs, flags, B, Hq, D, bsz,
                 c.start()
 
         def kv_copies(j, slot, b):
+            # reads go through the ALIASED OUTPUT refs: same buffer on TPU,
+            # and interpret mode implements aliasing by buffer handoff so
+            # intra-kernel writes are only visible through the output
             blk = tab_ref[b, jnp.minimum(j, max_blocks - 1)]
             kr = pltpu.make_async_copy(
-                r["k_pool"].at[layer, blk], kb.at[slot, b],
+                kp_out.at[layer, blk], kb.at[slot, b],
                 sems.at[(slot * B + b) * nsem])
             if combined:
                 return (kr,)
             vr = pltpu.make_async_copy(
-                r["v_pool"].at[layer, blk], vb.at[slot, b],
+                vp_out.at[layer, blk], vb.at[slot, b],
                 sems.at[(slot * B + b) * nsem + 1])
             return kr, vr
 

@@ -140,6 +140,45 @@ def _generate_impl(
             cache["kv"] = jnp.concatenate([cache.pop("k"), cache.pop("v")],
                                           axis=-1)
 
+        pe_ok = (spec.positional != "learned"
+                 or params["pos_embed"].shape[0] % 8 == 0)
+        # Multi-step in-kernel: the WHOLE greedy decode loop as ONE
+        # pallas_call with grid (T, layers + lm chunks) — no per-step
+        # dispatch, no pipeline ramp (step s+1's layer-0 weights prefetch
+        # during step s's lm epilogue), no XLA embedding gather (the
+        # epilogue captures the winning token's embedding row from the
+        # tied lm_head chunks as they stream by).
+        multi_ok = kv_combined and lm_vmajor and pe_ok
+        if multi_ok and max_new_tokens > 1:
+            from mlio_tpu.models.transformer import rope_cos_sin
+            from mlio_tpu.ops.decode_layer import decode_layer_stack
+
+            T = max_new_tokens - 1
+            pos0 = cache["pos"]
+            x = params["tok_embed"][next_token]
+            if spec.embed_scale is not None:
+                x = x * jnp.asarray(spec.embed_scale, x.dtype)
+            if spec.positional == "learned":
+                cs = sn = None
+            else:
+                cs, sn = rope_cos_sin(pos0 + jnp.arange(T), spec.rope_dim,
+                                      spec.rope_theta, jnp.float32)
+            out = decode_layer_stack(
+                x, params["blocks"], cache["kv"], None, pos0, cs, sn,
+                spec=spec, interpret=interp,
+                head_norm=(params["final_scale"], params["final_bias"]),
+                lm_head=lm_w, lm_head_bias=params.get("lm_head_bias"),
+                lm_vmajor=True, vocab_chunk=lm_Vc, vocab_size=lm_V,
+                cache_block=cache_block, kv_combined=True,
+                kv_depth=tuned.get("kv_depth"),
+                pos_embed=(params["pos_embed"]
+                           if spec.positional == "learned" else None),
+                steps=T)
+            toks = out[-1][:, :, 0]                            # [T, B]
+            all_new = jnp.concatenate([next_token[None], toks], axis=0)
+            return jnp.concatenate(
+                [input_ids, all_new.T.astype(input_ids.dtype)], axis=1)
+
         def step(carry, rng_step):
             cache, token = carry
             pos = cache["pos"]
