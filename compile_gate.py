@@ -96,10 +96,11 @@ def tiled_int8():
                       cache_quant="int8")
 
 
-def tiled_int4():
-    """Tiled decode with INT4 grouped weights (group-scale block class)."""
+def scan_int4():
+    """INT4 grouped-weight decode (group-scale matmul kernel class) — int4
+    routes through the per-op scan path's dequant-fused matmuls."""
     spec = _spec("llama2-7b", num_layers=2)
-    return _gen_entry(spec, _params(spec, quant="int4"), "tiled")
+    return _gen_entry(spec, _params(spec, quant="int4"), "scan")
 
 
 def tiled_fp8():
@@ -268,7 +269,7 @@ ENTRIES = {
     "mega-split-rope": mega_split_rope,
     "scan-decode": scan_decode,
     "tiled-int8": tiled_int8,
-    "tiled-int4": tiled_int4,
+    "scan-int4": scan_int4,
     "tiled-fp8": tiled_fp8,
     "tiled-moe": tiled_moe,
     "paged-mega-greedy": paged_mega_greedy,

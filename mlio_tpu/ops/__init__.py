@@ -51,6 +51,17 @@ def attention(q, k, v, *, causal=True, scale=None, q_offset=0, kv_len=None,
     kind = impl.attention if impl is not None else "dense"
     if kind == "flash" and not return_probs:
         from mlio_tpu.ops import flash_attention as fa
+        if (mask is None and kv_len is None and q_offset == 0
+                and k_scale is None and kv_layout == "bshd"):
+            # training-shaped call: identical primal kernel, but through
+            # the custom-VJP wrapper so jax.grad works (the decode/prefill
+            # variants below carry masks/kv_len and are never
+            # differentiated)
+            from mlio_tpu.ops.flash_attention_grad import (
+                flash_attention_diff)
+            return flash_attention_diff(
+                q, k, v, dropout_seed, causal, scale, impl.block_q,
+                impl.block_kv, _use_interpret(impl), dropout_rate)
         return fa.flash_attention(
             q, k, v, causal=causal, scale=scale, q_offset=q_offset,
             kv_len=kv_len, mask=mask, k_scale=k_scale, v_scale=v_scale,

@@ -338,12 +338,16 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
     k = _mm(h16, r["wk"], r["bk"], r["sk"])                   # [B, KVd]
     v = _mm(h16, r["wv"], r["bv"], r["sv"])
     if r["rotq"] is not None:
-        cosq = r["cosq"][...].astype(jnp.float32)
-        sinq = r["sinq"][...].astype(jnp.float32)
+        def _cs(ref):
+            t = ref[...].astype(jnp.float32)
+            # multi-step tables arrive as (1, 1, n) blocks of [T, 1, n]
+            return t.reshape(t.shape[-2:])
+        cosq = _cs(r["cosq"])
+        sinq = _cs(r["sinq"])
         q = q * cosq + jnp.dot(q, r["rotq"][...].astype(jnp.float32),
                                preferred_element_type=jnp.float32) * sinq
-        cosk = r["cosk"][...].astype(jnp.float32)
-        sink = r["sink"][...].astype(jnp.float32)
+        cosk = _cs(r["cosk"])
+        sink = _cs(r["sink"])
         k = k * cosk + jnp.dot(k, r["rotk"][...].astype(jnp.float32),
                                preferred_element_type=jnp.float32) * sink
 
@@ -401,10 +405,14 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
     # (built in f32: bf16 minor-dim insertion is unsupported in Mosaic)
     qmask = qs[:, :, None] * expand.T[None].astype(jnp.float32)
     if grouped:
-        qmask = jax.vmap(lambda a: jnp.dot(
-            r["group"][...].astype(jnp.float32), a,
-            preferred_element_type=jnp.float32))(qmask)
-    qmask = qmask.astype(bf)                                  # [B, *, Hq]
+        # fold through GROUP as ONE unbatched dot_general -> [B, Hq, KVd]
+        # (a vmapped per-batch dot lowers to a lane-merging tpu.reshape
+        # Mosaic rejects; caught by compile_gate on real TPU)
+        qmask = lax.dot_general(
+            qmask, r["group"][...].astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    qmask = qmask.astype(bf)            # [B, KVd|Qd, Hq] / grouped [B, Hq, KVd]
 
     m0 = jnp.full((B, 1, Hq), NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, 1, Hq), jnp.float32)
@@ -414,9 +422,10 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
         """[B, Hq, KVd] head-major PV -> flat [B, Qd] (pick each q lane's
         own head row, mapping kv lanes to q lanes through GROUP)."""
         if grouped:
-            pv_hk = jax.vmap(lambda a: jnp.dot(
-                a, r["group"][...].astype(jnp.float32),
-                preferred_element_type=jnp.float32))(pv_hk)   # [B, Hq, Qd]
+            pv_hk = lax.dot_general(
+                pv_hk, r["group"][...].astype(jnp.float32),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [B, Hq, Qd]
         return jnp.sum(pv_hk * expf[None], axis=1)            # [B, Qd]
 
     def to_qheads_t(sc_t):
@@ -480,7 +489,8 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
         else:
             kbv = kb[slot].astype(bf) if kv_quant else kb[slot]
             vals = vb[slot].astype(bf) if kv_quant else vb[slot]
-        s = lax.dot_general(kbv, qmask, (((2,), (1,)), ((0,), (0,))),
+        s = lax.dot_general(kbv, qmask,
+                            (((2,), (2 if grouped else 1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
         p_fold = None
         if kv_quant:
@@ -506,7 +516,8 @@ def _decode_layer_body(r, x_out, k_new, v_new, ks_new, vs_new,
     # dequantized values in the kv_quant case)
     kf = k.astype(bf)[:, None, :]                             # [B, 1, KVd]
     vf = v.astype(bf)[:, None, :]
-    s_cur = lax.dot_general(kf, qmask, (((2,), (1,)), ((0,), (0,))),
+    s_cur = lax.dot_general(kf, qmask,
+                            (((2,), (2 if grouped else 1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     m, l, acc = softmax_update(s_cur, m, l, acc, vf)
 
@@ -917,9 +928,13 @@ def decode_layer_stack(
                 lambda s, l, *_, _nd=v.ndim: (lclamp(l),)
                 + (0,) * (_nd - 1)))
         elif multi and n in ("cosq", "sinq", "cosk", "sink"):
-            # per-step RoPE rows stream with the step grid dim
+            # per-step RoPE rows stream with the step grid dim. A [T, n]
+            # layout would need an illegal (1, n) block (sublane dim 1 !=
+            # T); as [T, 1, n] the block (1, 1, n) EQUALS the array on the
+            # last two dims, which Mosaic accepts.
+            args[-1] = v = v[:, None, :]
             in_specs.append(pl.BlockSpec(
-                (1, v.shape[1]), lambda s, l, *_: (s, 0)))
+                (1, 1, v.shape[2]), lambda s, l, *_: (s, 0, 0)))
         else:  # whole-array constants, fetched once
             in_specs.append(pl.BlockSpec(
                 v.shape, lambda s, l, *_, _nd=v.ndim: (0,) * _nd))

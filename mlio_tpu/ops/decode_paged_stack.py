@@ -238,10 +238,14 @@ def _paged_stack_kernel(tab_ref, ctx_ref, *refs, flags, B, Hq, D, bsz,
         qs = q * scale
         qmask = qs[:, :, None] * expand.T[None].astype(jnp.float32)
         if grouped:
-            qmask = jax.vmap(lambda a: jnp.dot(
-                r["group"][...].astype(jnp.float32), a,
-                preferred_element_type=jnp.float32))(qmask)
-        qmask = qmask.astype(bf)                             # [B, *, Hq]
+            # ONE unbatched dot_general -> [B, Hq, KVd] (a vmapped
+            # per-batch dot lowers to a lane-merging tpu.reshape Mosaic
+            # rejects; caught by compile_gate on real TPU)
+            qmask = lax.dot_general(
+                qmask, r["group"][...].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        qmask = qmask.astype(bf)   # [B, KVd, Hq] / grouped [B, Hq, KVd]
 
         # per-sequence context thresholds as a [B, 1, Hq] vector (built
         # from SMEM scalars with a select chain — B is small and SMEM
@@ -257,9 +261,10 @@ def _paged_stack_kernel(tab_ref, ctx_ref, *refs, flags, B, Hq, D, bsz,
 
         def pv_select(pv_hk):
             if grouped:
-                pv_hk = jax.vmap(lambda a: jnp.dot(
-                    a, r["group"][...].astype(jnp.float32),
-                    preferred_element_type=jnp.float32))(pv_hk)
+                pv_hk = lax.dot_general(
+                    pv_hk, r["group"][...].astype(jnp.float32),
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [B, Hq, Qd]
             return jnp.sum(pv_hk * expf[None], axis=1)       # [B, Qd]
 
         def softmax_update(s, m, l, acc, vals):
@@ -292,8 +297,10 @@ def _paged_stack_kernel(tab_ref, ctx_ref, *refs, flags, B, Hq, D, bsz,
             else:
                 kbv = kb[slot]
                 vals = vb[slot]
-            s = lax.dot_general(kbv, qmask, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+            s = lax.dot_general(
+                kbv, qmask,
+                (((2,), (2 if grouped else 1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
             col = j * bsz + lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < thr, s, NEG_INF)             # [B, bsz, Hq]
             out = softmax_update(s, m, l, acc, vals)
@@ -309,8 +316,9 @@ def _paged_stack_kernel(tab_ref, ctx_ref, *refs, flags, B, Hq, D, bsz,
         # current token attends to itself (its K/V never left VMEM)
         kf = k.astype(bf)[:, None, :]
         vf = v.astype(bf)[:, None, :]
-        s_cur = lax.dot_general(kf, qmask, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+        s_cur = lax.dot_general(
+            kf, qmask, (((2,), (2 if grouped else 1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         m, l, acc = softmax_update(s_cur, m, l, acc, vf)
 
         # all pool reads for this layer are done: fold the current token's

@@ -108,7 +108,11 @@ def _fwd_lse_kernel(*refs, scale: float,
     o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
     # logsumexp of the scaled scores; -inf rows (fully masked) stay -inf.
     lse = jnp.where(jnp.isneginf(m), NEG_INF, m + jnp.log(l_safe))
-    lse_ref[0, 0] = lse[:, 0]
+    # row stats ride as [B, Hq, 8, sq]: a (1, bq) block of a 3D [B,Hq,sq]
+    # layout is Mosaic-illegal (last-two dims (1, bq)); the 8-sublane
+    # broadcast makes every stats block (8, bq) — caught by compile_gate
+    lse_ref[0, 0] = jnp.broadcast_to(lse[:, 0][None, :],
+                                     lse_ref.shape[2:])
 
 
 # ---------------------------------------------------------------------------
@@ -132,9 +136,9 @@ def _bwd_dq_kernel(*refs, scale: float, block_kv: int, causal: bool,
 
     q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     do = do_ref[0, 0].astype(jnp.float32)                       # [bq, D]
-    lse = lse_ref[0, 0].astype(jnp.float32)[:, None]            # [bq, 1]
+    lse = lse_ref[0, 0, 0].astype(jnp.float32)[:, None]         # [bq, 1]
     lse_safe = jnp.where(jnp.isneginf(lse), 0.0, lse)
-    delta = delta_ref[0, 0].astype(jnp.float32)[:, None]        # [bq, 1]
+    delta = delta_ref[0, 0, 0].astype(jnp.float32)[:, None]     # [bq, 1]
     q_start = qi * bq
 
     limit = min(pl.cdiv(skv, block_kv), pl.cdiv(kvlen, block_kv))
@@ -208,9 +212,9 @@ def _bwd_dkv_kernel(*refs, scale: float, block_q: int,
         qs = (q_ref[0, 0, pl.ds(i * block_q, block_q), :]
               .astype(jnp.float32) * scale).astype(q_ref.dtype)
         do = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, 0, 0, pl.ds(i * block_q, block_q)][:, None]
         lse_safe = jnp.where(jnp.isneginf(lse), 0.0, lse)
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, 0, pl.ds(i * block_q, block_q)][:, None]
 
         s = lax.dot_general(qs, ks, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [bq, bkv]
@@ -290,11 +294,11 @@ def _fwd_impl(q, k, v, seed, causal, scale, block_q, block_kv, interpret,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, h, i)),
+            pl.BlockSpec((1, 1, 8, bq), lambda b, h, i: (b, h, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Hq, sq_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, 8, sq_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -359,6 +363,8 @@ def _vjp_bwd(causal, scale, block_q, block_kv, interpret, dropout_rate,
     # delta = rowsum(dO * O) (reference :813) — elementwise, XLA fuses it.
     delta = jnp.sum(do.astype(jnp.float32) * o_pad.astype(jnp.float32),
                     axis=-1)                                    # [B,Hq,sq_pad]
+    delta = jnp.broadcast_to(delta[:, :, None, :],
+                             (B, Hq, 8, sq_pad))  # stats slab layout
 
     q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i: (b, h, i, 0))
     qfull_spec = pl.BlockSpec((1, 1, sq_pad, D), lambda b, h, i: (b, h, 0, 0))
@@ -366,8 +372,9 @@ def _vjp_bwd(causal, scale, block_q, block_kv, interpret, dropout_rate,
                            lambda b, h, i, g_=group: (b, h // g_, 0, 0))
     kvblk_spec = pl.BlockSpec((1, 1, bkv, D),
                               lambda b, h, i, g_=group: (b, h // g_, i, 0))
-    row_spec = pl.BlockSpec((1, 1, bq), lambda b, h, i: (b, h, i))
-    rowfull_spec = pl.BlockSpec((1, 1, sq_pad), lambda b, h, i: (b, h, 0))
+    row_spec = pl.BlockSpec((1, 1, 8, bq), lambda b, h, i: (b, h, 0, i))
+    rowfull_spec = pl.BlockSpec((1, 1, 8, sq_pad),
+                                lambda b, h, i: (b, h, 0, 0))
 
     seed_args, seed_specs = _seed_operand(dropout_seed, dropout_rate)
     dq = pl.pallas_call(
@@ -421,3 +428,51 @@ def _vjp_bwd(causal, scale, block_q, block_kv, interpret, dropout_rate,
 
 
 flash_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def flash_attention_diff(q, k, v, dropout_seed=0, causal: bool = True,
+                         scale: Optional[float] = None,
+                         block_q: Optional[int] = None,
+                         block_kv: Optional[int] = None,
+                         interpret: bool = False,
+                         dropout_rate: float = 0.0):
+    """Differentiable wrapper whose PRIMAL is the full tuned forward kernel
+    (ops/flash_attention.py — autotuned blocks, streamed long-context path),
+    so wrapping costs inference nothing. The backward recomputes (o, lse)
+    with the vjp forward and runs the flash backward kernel — flash-style
+    recomputation instead of saving stats from the tuned forward (whose
+    streamed variants don't emit lse). Lets jax.grad flow through the
+    ops.attention dispatcher (the reference's flash autograd surface,
+    flash_attention_kernels.py:947-1566)."""
+    from mlio_tpu.ops.flash_attention import flash_attention
+
+    return flash_attention(q, k, v, causal=causal, scale=scale,
+                           block_q=block_q, block_kv=block_kv,
+                           interpret=interpret, dropout_rate=dropout_rate,
+                           dropout_seed=dropout_seed)
+
+
+def _diff_fwd(q, k, v, dropout_seed, causal, scale, block_q, block_kv,
+              interpret, dropout_rate):
+    from mlio_tpu.ops.flash_attention import flash_attention
+
+    out = flash_attention(q, k, v, causal=causal, scale=scale,
+                          block_q=block_q, block_kv=block_kv,
+                          interpret=interpret, dropout_rate=dropout_rate,
+                          dropout_seed=dropout_seed)
+    return out, (q, k, v, dropout_seed)
+
+
+def _diff_bwd(causal, scale, block_q, block_kv, interpret, dropout_rate,
+              res, g):
+    q, k, v, dropout_seed = res
+    bq = block_q or 256
+    bkv = block_kv or 512
+    sc = scale if scale is not None else q.shape[-1] ** -0.5
+    _, resid = _vjp_fwd(q, k, v, dropout_seed, causal, sc, bq, bkv,
+                        interpret, dropout_rate)
+    return _vjp_bwd(causal, sc, bq, bkv, interpret, dropout_rate, resid, g)
+
+
+flash_attention_diff.defvjp(_diff_fwd, _diff_bwd)

@@ -54,7 +54,10 @@ class HardwareSpec:
 
     @property
     def chips_per_host(self) -> int:
-        return min(self.num_chips, CHIP_SPECS[self.chip][4])
+        per = CHIP_SPECS[self.chip][4]
+        if self.num_hosts > 1:
+            per = min(per, max(1, self.num_chips // self.num_hosts))
+        return min(self.num_chips, per)
 
 
 def detect_hardware() -> HardwareSpec:
@@ -133,9 +136,15 @@ class ParallelismCostModel:
         act_bytes = (batch / max(1, plan.dp)) * (seq_len / max(1, plan.sp)) \
             * spec.hidden_size * self.dtype_bytes
         link = self.hw.ici_gbps
-        # groups spanning hosts pay DCN (tensor axis is innermost = ICI)
+        # Axes nest tensor-innermost, then seq, then pp/dp: any group whose
+        # span exceeds a host's chips crosses the host boundary and pays
+        # DCN instead of ICI (the reference's topology mapping,
+        # communication.py:1116-1630, as mesh-axis placement).
+        cph = self.hw.chips_per_host
         chips_used = plan.world
-        if plan.dp * plan.pp > 1 and chips_used > self.hw.chips_per_host:
+        link_tp = link if plan.tp <= cph else DCN_GBPS
+        link_sp = link if plan.tp * plan.sp <= cph else DCN_GBPS
+        if plan.dp * plan.pp > 1 and chips_used > cph:
             link_dp = DCN_GBPS
         else:
             link_dp = link
@@ -143,12 +152,13 @@ class ParallelismCostModel:
         if plan.tp > 1:
             t += 2 * spec.num_layers * estimate_collective_time(
                 int(act_bytes), plan.tp, collective="all_reduce",
-                link_gbps=link)
+                link_gbps=link_tp)
         if plan.sp > 1:
             kv_bytes = 2 * (seq_len / plan.sp) * spec.kv_dim \
                 * self.dtype_bytes * (batch / max(1, plan.dp))
             t += spec.num_layers * (plan.sp - 1) * estimate_collective_time(
-                int(kv_bytes), plan.sp, collective="ppermute", link_gbps=link)
+                int(kv_bytes), plan.sp, collective="ppermute",
+                link_gbps=link_sp)
         if plan.pp > 1:
             t += (plan.pp - 1) * act_bytes / (link_dp * 1e9)
         return t

@@ -149,6 +149,164 @@ class DiffusionInferenceRunner:
         }
 
 
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """diffusers UNet2DModel-shaped config (the checkpoint class the
+    reference's DiffusionInferenceRunner wraps, inference.py:1594-1678)."""
+
+    sample_size: int = 32
+    in_channels: int = 3
+    out_channels: int = 3
+    block_out_channels: Tuple[int, ...] = (32, 64)
+    layers_per_block: int = 1
+    time_embed_dim: int = 128
+    norm_num_groups: int = 8
+    mid_attention: bool = True
+
+
+def _timestep_embedding(t, dim: int):
+    """Sinusoidal timestep embedding (DDPM/Transformer convention)."""
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(10000.0) * jnp.arange(half) / half)
+    ang = jnp.asarray(t, jnp.float32)[None] * freqs
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)])[None]  # [1, dim]
+
+
+def _group_norm(x, scale, bias, groups: int, eps: float = 1e-5):
+    """GroupNorm over NHWC (channels last — the TPU-native conv layout)."""
+    N, H, W, C = x.shape
+    g = x.reshape(N, H, W, groups, C // groups)
+    mu = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(g, axis=(1, 2, 4), keepdims=True)
+    g = (g - mu) * jax.lax.rsqrt(var + eps)
+    return g.reshape(N, H, W, C) * scale + bias
+
+
+def make_unet_denoiser(cfg: UNetConfig = UNetConfig(),
+                       key: Optional[jax.Array] = None):
+    """A real UNet-shaped denoiser: conv ResNet blocks with GroupNorm/SiLU
+    and timestep conditioning, strided-conv downsampling, a mid
+    self-attention block, skip connections, nearest-neighbour upsampling —
+    the diffusers UNet2DModel architecture re-expressed TPU-first (NHWC so
+    channels ride the lane dim; convs lower onto the MXU via XLA).
+
+    Returns (denoise_fn, params) with ``eps = denoise_fn(params, x, t)``
+    over NHWC ``x`` — plug-compatible with DiffusionInferenceRunner.
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    ks = iter(jax.random.split(key, 200))
+
+    def conv_p(cin, cout, k=3):
+        w = jax.random.normal(next(ks), (k, k, cin, cout)) \
+            * (k * k * cin) ** -0.5
+        return {"w": w, "b": jnp.zeros((cout,))}
+
+    def lin_p(cin, cout):
+        return {"w": jax.random.normal(next(ks), (cin, cout)) * cin ** -0.5,
+                "b": jnp.zeros((cout,))}
+
+    def res_p(cin, cout):
+        return {"n1": {"s": jnp.ones((cin,)), "b": jnp.zeros((cin,))},
+                "c1": conv_p(cin, cout),
+                "t": lin_p(cfg.time_embed_dim, cout),
+                "n2": {"s": jnp.ones((cout,)), "b": jnp.zeros((cout,))},
+                "c2": conv_p(cout, cout),
+                "skip": (conv_p(cin, cout, k=1) if cin != cout else None)}
+
+    chans = cfg.block_out_channels
+    params: Dict[str, Any] = {
+        "time": [lin_p(cfg.time_embed_dim, cfg.time_embed_dim),
+                 lin_p(cfg.time_embed_dim, cfg.time_embed_dim)],
+        "conv_in": conv_p(cfg.in_channels, chans[0]),
+        "down": [], "downsample": [],
+        "mid1": res_p(chans[-1], chans[-1]),
+        "mid2": res_p(chans[-1], chans[-1]),
+        "up": [], "upsample": [],
+        "norm_out": {"s": jnp.ones((chans[0],)),
+                     "b": jnp.zeros((chans[0],))},
+        "conv_out": conv_p(chans[0], cfg.out_channels),
+    }
+    if cfg.mid_attention:
+        c = chans[-1]
+        params["attn"] = {"n": {"s": jnp.ones((c,)), "b": jnp.zeros((c,))},
+                          "qkv": lin_p(c, 3 * c), "o": lin_p(c, c)}
+    cin = chans[0]
+    for c in chans:
+        blocks = []
+        for _ in range(cfg.layers_per_block):
+            blocks.append(res_p(cin, c))
+            cin = c
+        params["down"].append(blocks)
+        params["downsample"].append(conv_p(c, c))  # stride-2 in apply
+    rev = list(reversed(chans))
+    for i, c in enumerate(rev):
+        params["upsample"].append(conv_p(cin, cin))  # pre-concat, keeps cin
+        blocks = []
+        bc_in = cin + rev[i]  # skip concat feeds only the first block
+        for _ in range(cfg.layers_per_block):
+            blocks.append(res_p(bc_in, c))
+            bc_in = c
+        params["up"].append(blocks)
+        cin = c
+
+    def conv(p, x, stride=1):
+        return jax.lax.conv_general_dilated(
+            x, p["w"], (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b"]
+
+    def res_block(p, x, temb):
+        h = jax.nn.silu(_group_norm(x, p["n1"]["s"], p["n1"]["b"],
+                                    cfg.norm_num_groups))
+        h = conv(p["c1"], h)
+        h = h + (temb @ p["t"]["w"] + p["t"]["b"])[:, None, None, :]
+        h = jax.nn.silu(_group_norm(h, p["n2"]["s"], p["n2"]["b"],
+                                    cfg.norm_num_groups))
+        h = conv(p["c2"], h)
+        if p["skip"] is not None:
+            x = conv(p["skip"], x)
+        return x + h
+
+    def attn_block(p, x):
+        N, H, W, C = x.shape
+        h = _group_norm(x, p["n"]["s"], p["n"]["b"], cfg.norm_num_groups)
+        qkv = h.reshape(N, H * W, C) @ p["qkv"]["w"] + p["qkv"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        s = jax.nn.softmax(q @ k.swapaxes(-1, -2) * C ** -0.5, axis=-1)
+        o = (s @ v) @ p["o"]["w"] + p["o"]["b"]
+        return x + o.reshape(N, H, W, C)
+
+    def denoise(params, x, t):
+        temb = _timestep_embedding(t, cfg.time_embed_dim)
+        for lp in params["time"]:
+            temb = jax.nn.silu(temb @ lp["w"] + lp["b"])
+        temb = jnp.broadcast_to(temb, (x.shape[0], temb.shape[-1]))
+
+        h = conv(params["conv_in"], x)
+        skips = []
+        for blocks, ds in zip(params["down"], params["downsample"]):
+            for bp in blocks:
+                h = res_block(bp, h, temb)
+            skips.append(h)
+            h = conv(ds, h, stride=2)
+        h = res_block(params["mid1"], h, temb)
+        if cfg.mid_attention:
+            h = attn_block(params["attn"], h)
+        h = res_block(params["mid2"], h, temb)
+        for blocks, us, skip in zip(params["up"], params["upsample"],
+                                    reversed(skips)):
+            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)  # nearest
+            h = conv(us, h)
+            h = jnp.concatenate([h, skip], axis=-1)
+            for bp in blocks:
+                h = res_block(bp, h, temb)
+        h = jax.nn.silu(_group_norm(h, params["norm_out"]["s"],
+                                    params["norm_out"]["b"],
+                                    cfg.norm_num_groups))
+        return conv(params["conv_out"], h)
+
+    return denoise, params
+
+
 def make_mlp_denoiser(dim: int, hidden: int = 128,
                       key: Optional[jax.Array] = None):
     """Tiny reference denoiser for tests/benchmarks (a stand-in for a UNet:

@@ -20,7 +20,8 @@ import jax
 # rather than a throughput fraction: best-of-reruns merging must never hide
 # a later failure behind a stale passing capture — always record the LATEST
 # result and keep the per-run history beside it.
-GATE_SCENARIOS = {"ppl-gate", "ring-shardmap"}
+GATE_SCENARIOS = {"ppl-gate", "ring-shardmap", "compile-gate",
+                  "real-weights"}
 
 
 def main():
@@ -28,7 +29,12 @@ def main():
 
     import bench_extra
 
-    names = sys.argv[1:] or ["headline"] + list(bench_extra.SCENARIOS)
+    argv = list(sys.argv[1:])
+    if "--real-weights" in argv:
+        i = argv.index("--real-weights")
+        bench_extra.REAL_WEIGHTS_DIR = argv[i + 1]
+        del argv[i:i + 2]
+    names = argv or ["headline"] + list(bench_extra.SCENARIOS)
     results = {"backend": jax.default_backend(),
                "captured_unix": int(time.time()),
                "results": {}}

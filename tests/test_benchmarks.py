@@ -221,3 +221,37 @@ def test_run_benches_merge_protects_good_entries(tmp_path, monkeypatch):
     run_benches.main()
     r4 = json.load(open(tmp_path / "BENCH_extra.json"))["results"]["s"]
     assert r4["vs_baseline"] == 0.9 and "boom" in r4["last_rerun_error"]
+
+
+def test_real_weights_gate_mechanics(tmp_path):
+    """The --real-weights runbook works end-to-end against a locally saved
+    HF checkpoint (random weights here; trained downloads use the same
+    path): conversion, logits parity, INT8/INT4 ppl deltas, real/proxy
+    labeling, and the clean skip when no directory exists."""
+    import sys
+
+    sys.path.insert(0, "/root/repo") if "/root/repo" not in sys.path else None
+    import bench_extra
+
+    # clean skip without a directory
+    bench_extra.REAL_WEIGHTS_DIR = str(tmp_path / "nope")
+    r = bench_extra.real_weights_gate()
+    assert r["vs_baseline"] == 1.0
+    assert "skipped cleanly" in r["detail"]["status"]
+
+    # a saved checkpoint runs the real gates
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    ck = tmp_path / "ckpts" / "gpt2-tiny-ckpt"
+    cfg = GPT2Config(vocab_size=509, n_positions=128, n_embd=96, n_layer=2,
+                     n_head=4, resid_pdrop=0.0, embd_pdrop=0.0,
+                     attn_pdrop=0.0)
+    GPT2LMHeadModel(cfg).eval().save_pretrained(str(ck))
+    bench_extra.REAL_WEIGHTS_DIR = str(tmp_path / "ckpts")
+    r = bench_extra.real_weights_gate()
+    leg = r["detail"]["gpt2-tiny-ckpt"]
+    assert leg["weights"] == "real"
+    assert leg["logits_maxdiff"] < 1e-4
+    assert "ppl_int8_rel_delta" in leg and "ppl_int4_rel_delta" in leg
+    assert r["value"] == 1 and r["vs_baseline"] == 1.0
+    bench_extra.REAL_WEIGHTS_DIR = None
