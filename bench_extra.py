@@ -640,7 +640,7 @@ def spec_decode(model='gpt2-medium', new_tokens=256, draft_layers=8):
                            max_seq=1024)
     iparams = make_induction_model(ispec, period=32)
     iparams = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16), iparams,
+        lambda a: None if a is None else a.astype(jnp.bfloat16), iparams,
         is_leaf=lambda x: x is None)
     iids = periodic_prompt(32, 8, ispec.vocab_size)
     INEW = 256
