@@ -455,9 +455,11 @@ def _decode_forward(params, spec, x, cache, impl, cos, sin):
             ck = ck.reshape(*ck.shape[:3], -1)
             cv = cv.reshape(*cv.shape[:3], -1)
         from mlio_tpu.ops.decode_tiled import _weight_fmt as _tiled_wfmt
-        tiling = choose_tiling(spec, B, _tiled_witem(params["blocks"]) or 2,
-                               1 if quant else 2,
-                               weight_fmt=_tiled_wfmt(params["blocks"]))
+        from mlio_tpu.ops.decode_tiled import resolve_tiling
+        tiling = resolve_tiling(spec, B, _tiled_witem(params["blocks"]) or 2,
+                                1 if quant else 2,
+                                weight_fmt=_tiled_wfmt(params["blocks"]),
+                                cache_len=Smax, quant=quant)
         ks = vs = None
         scales_t = True
         if quant:

@@ -445,9 +445,19 @@ def tune_decode(preset: str = "gpt2", batch: int = 8, prompt: int = 704,
     return best
 
 
-TILED_CANDIDATES = tuple(
-    {"cache_block": cb, "kv_depth": kd}
-    for cb in (64, 128, 256, 512) for kd in (2, 3))
+TILED_CANDIDATES = (
+    # (ka, ic, ws) tiling sweep at the measured-best cache knobs, then
+    # cache knobs at the best tiling class (round-5 finding: phase count
+    # is nearly free in the loop-phased kernel; chunk size and pool depth
+    # are the levers)
+    {"cache_block": 64, "kv_depth": 2},
+    {"cache_block": 64, "kv_depth": 2, "ka": 2, "ic": 1408, "ws": 2},
+    {"cache_block": 64, "kv_depth": 2, "ka": 2, "ic": 1024, "ws": 2},
+    {"cache_block": 64, "kv_depth": 2, "ka": 4, "ic": 1408, "ws": 2},
+    {"cache_block": 64, "kv_depth": 2, "ka": 2, "ic": 2048, "ws": 2},
+    {"cache_block": 128, "kv_depth": 3, "ka": 2, "ic": 1408, "ws": 2},
+    {"cache_block": 64, "kv_depth": 2, "ka": 2, "ic": 1408, "ws": 3},
+)
 
 def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
                       prompt: int = 704, cache_len: int = 1024,
@@ -471,14 +481,26 @@ def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
     from mlio_tpu.runtime.kv_cache import init_cache
     from mlio_tpu.runtime.quantization import init_quantized_params
 
+    from mlio_tpu.ops.decode_tiled import Tiling
+
     spec = get_spec(preset)
     params = init_quantized_params(spec, jax.random.PRNGKey(0))
     impl = Impl(attention="flash", norm="fused")
     ids = jnp.zeros((batch, prompt), jnp.int32)
-    tiling = choose_tiling(spec, batch, 1, 1, weight_fmt="int8")
+    base_tiling = choose_tiling(spec, batch, 1, 1, weight_fmt="int8")
 
-    @functools.partial(jax.jit, static_argnames=("n", "cb", "kd"))
-    def run(params, ids, n, cb, kd):
+    def cand_tiling(cand):
+        if "ka" not in cand:
+            return base_tiling
+        ka, ic = cand["ka"], cand["ic"]
+        if spec.num_heads % ka or spec.num_kv_heads % ka:
+            return None
+        return Tiling(hg=spec.num_heads // ka, ic=ic, ka=ka,
+                      km=-(-spec.intermediate_size // ic),
+                      ws=cand.get("ws", 2))
+
+    @functools.partial(jax.jit, static_argnames=("n", "cb", "kd", "tiling"))
+    def run(params, ids, n, cb, kd, tiling):
         cache = init_cache(spec, batch, cache_len, dtype=jnp.bfloat16,
                            quant="int8")
         logits, cache = forward(params, spec, ids, impl=impl, cache=cache)
@@ -516,14 +538,18 @@ def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
     for cand in candidates or TILED_CANDIDATES:
         cb = cand["cache_block"]
         kd = cand.get("kv_depth", 3)
+        tl_ = cand_tiling(cand)
+        if tl_ is None:
+            continue
 
         def f(n):
-            return int(run(params, ids, n, cb, kd)[0])
+            return int(run(params, ids, n, cb, kd, tl_)[0])
         try:
             f(lo), f(hi)
         except Exception as e:
             if verbose:
-                print(f"  cb={cb} kd={kd}: failed {type(e).__name__}: {e}")
+                print(f"  cb={cb} kd={kd} {tl_}: failed "
+                      f"{type(e).__name__}: {e}")
             continue
         dt = float("inf")
         for _ in range(3):
@@ -531,12 +557,13 @@ def tune_decode_tiled(preset: str = "llama2-7b", batch: int = 8,
             t0 = time.perf_counter(); f(hi); th = time.perf_counter() - t0
             dt = min(dt, (th - tl) / (hi - lo))
         if verbose:
-            print(f"  cb={cb:4d} kd={kd}: {dt * 1e3:8.3f} ms/step",
-                  flush=True)
+            print(f"  cb={cb:4d} kd={kd} ka={tl_.ka} ic={tl_.ic} "
+                  f"ws={tl_.ws}: {dt * 1e3:8.3f} ms/step", flush=True)
         if not (0 < dt < float("inf")):  # noisy chip: no finite marginal
             continue
         if best is None or dt < best["_dt"]:
             best = {"cache_block": cb, "kv_depth": kd, "_dt": dt,
+                    "ka": tl_.ka, "ic": tl_.ic, "ws": tl_.ws,
                     "ms": round(dt * 1e3, 4)}
     if best is None:
         raise RuntimeError("no tiled decode candidate ran")

@@ -95,6 +95,8 @@ class Tiling(NamedTuple):
     ic: int    # intermediate lanes per MLP phase
     ka: int    # number of attention phases
     km: int    # number of MLP phases
+    ws: int = 2  # weight-pool slots (3 = triple-buffered streaming;
+    #              dma_bench.py: depth-2 queues drain between wait/refill)
 
 
 def choose_tiling(spec, B: int, weight_itemsize: int = 1,
@@ -125,7 +127,7 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
 
     scratch = 3 * B * _pad(h, 128) * 4 + (2 << 20)  # x_res/h/acc + consts
     best = None
-    for ka in (1, 2, 4, 8, 16):
+    for ws, ka in [(w_, k_) for w_ in (3, 2) for k_ in (1, 2, 4, 8, 16)]:
         if Hq % ka or Hkv % ka:
             # kv heads must split evenly into the same number of groups
             continue
@@ -140,12 +142,13 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
         reserve = 1.5 if fp8 else 1.0  # dequant-cast spill headroom
 
         def pool_bytes(ic):
-            # pool buffers: up(q), mid(k), v, dn(o/down) — w_up/w_gate ride
-            # the auto pipeline with their own double buffers (term below)
+            # ALL seven weights share the four ws-slot pool buffers
+            # (manual DMA): each buffer is max(attn, mlp) width
+            cup = max(Qg, ic)
+            cmid = max(KVg, ic) if gated else KVg
             dn = max(Qg, ic)
-            pool = 2 * h * wi * (Qg + KVg + KVg + dn)
-            pipeline = 2 * h * wi * ic * (2 if gated else 1)
-            return int((pool + pipeline) * reserve)
+            pool = ws * h * wi * (cup + cmid + KVg + dn)
+            return int(pool * reserve)
 
         ic = None
         cand_ic = min(_pad(I, 128), 1 << 16)
@@ -157,11 +160,50 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
         if ic is None:
             continue
         km = -(-I // ic)
-        cand = Tiling(hg=hg, ic=ic, ka=ka, km=km)
-        # prefer the fewest total phases (least per-phase overhead)
-        if best is None or (cand.ka + cand.km) < (best.ka + best.km):
+        if km > 1 and I % 128:
+            # clamped-start edge chunks need 128-aligned intermediate
+            # slicing; unaligned models must fit in one chunk
+            continue
+        cand = Tiling(hg=hg, ic=ic, ka=ka, km=km, ws=ws)
+        # prefer triple-buffered streaming (ws=3: the depth-2 queue
+        # drains between wait and refill, dma_bench.py), then the fewest
+        # total phases
+        if best is None or (-cand.ws, cand.ka + cand.km) < (
+                -best.ws, best.ka + best.km):
             best = cand
     return best
+
+
+def resolve_tiling(spec, B: int, weight_itemsize: int = 1,
+                   cache_itemsize: int = 2,
+                   weight_fmt: Optional[str] = None,
+                   cache_len: Optional[int] = None,
+                   quant: bool = False) -> Optional[Tiling]:
+    """choose_tiling, overridden by a chip-tuned (ka, ic, ws) from the
+    autotune table when one exists for this shape class (the tuner sweeps
+    tilings; the static heuristic is the fallback). Divisibility is
+    re-validated so a stale table entry can never produce an illegal
+    tiling."""
+    base = choose_tiling(spec, B, weight_itemsize, cache_itemsize,
+                         weight_fmt=weight_fmt)
+    if base is None or cache_len is None:
+        return base
+    from mlio_tpu.ops.autotune import lookup_key, tiled_decode_key
+
+    t = lookup_key(tiled_decode_key(spec.hidden_size, spec.kv_dim, B,
+                                    cache_len, quant)) or {}
+    if "ka" not in t or "ic" not in t:
+        return base
+    ka, ic, ws = int(t["ka"]), int(t["ic"]), int(t.get("ws", 2))
+    Hq, Hkv, D = spec.num_heads, spec.num_kv_heads, spec.head_size
+    I = spec.intermediate_size
+    km = -(-I // ic)
+    if (Hq % ka or Hkv % ka or ic % 128
+            or (ka > 1 and (((Hq // ka) * D) % 128
+                            or ((Hkv // ka) * D) % 128))
+            or (km > 1 and I % 128)):
+        return base
+    return Tiling(hg=Hq // ka, ic=ic, ka=ka, km=km, ws=ws)
 
 
 def _weight_itemsize(blocks) -> Optional[int]:
@@ -303,10 +345,32 @@ def _mmv(h16, w, b_ref, s_ref):
     return y
 
 
+def _mmvv(h16, w, b, sc):
+    """x @ chunk on an ARRAY with VALUE bias/scale (sliced per phase from
+    per-layer rows inside the kernel)."""
+    if sc is not None:
+        y = _qdot(h16, w, w.shape[1])
+        y = y * sc.astype(jnp.float32)
+    else:
+        y = jnp.dot(h16, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y
+
+
 def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                   norm, eps, activation, scale, gated, grouped,
                   cdtype, kv_quant, hkvg, smax, n_experts=0, top_k=0,
                   kv_depth=2):
+    """ONE grid step == one whole LAYER; the Ka attention-group and
+    (E x) Km MLP-chunk phases run as in-body fori loops over the same
+    manually double-buffered weight pool. Round 5 restructure: with phases
+    as a second grid dimension the per-grid-step fixed cost measured
+    4.3 us/phase x ~256 phases = ~1.1 ms/token on 7B int8 (pipeline
+    bookkeeping + output flushes per phase); loop iterations pay none of
+    that, and sharing the pool across ALL seven weights (w_up/w_gate no
+    longer ride the auto pipeline) SHRINKS the footprint, so feasible
+    chunks grow."""
     it = iter(refs)
     r = {n: (next(it) if flags[n] else None) for n in _NAMES}
     x_out, k_new, v_new = next(it), next(it), next(it)
@@ -323,25 +387,17 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
     sems = next(it)
 
     layer = pl.program_id(0)
-    s_idx = pl.program_id(1)
     pos = pos_ref[0, 0]
-    Hg, ic, Ka, Km = tiling
+    Hg, ic, Ka, Km, ws = tiling
     Qg = Hg * D
     KVg = hkvg * D
     hkvp = _pad(hkvg, 8)
-    S = Ka + max(n_experts, 1) * Km
+    EKm = max(n_experts, 1) * Km
+    P = Ka + EKm
     L = pl.num_programs(0)
-    ic_edge = I_total - (Km - 1) * ic  # last-chunk width (Km==1 -> I_total)
-
-    # ---- shared-pool weight streaming ---------------------------------------
-    # Attention and MLP phases stream their weight chunks through the SAME
-    # four double-buffered scratch buffers via manual DMA: buffer bytes are
-    # allocated once for max(attn, mlp) chunk instead of per-operand pipeline
-    # buffers for all seven weights — which roughly doubles the feasible MLP
-    # chunk and halves the per-token phase count (the per-phase fixed cost
-    # was the dominant non-roofline term at 7B shapes).
-    step = layer * S + s_idx
-    slot = lax.rem(step, 2)
+    base = layer * P               # global phase counter (slot parity)
+    single_chunk = Km == 1
+    I_true = r["w_up"].shape[2]    # true intermediate width
 
     def attn_copies(l_, g_, slot_):
         return [
@@ -359,20 +415,37 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                 wbd.at[slot_, pl.ds(0, Qg), :], wsems.at[3, slot_]),
         ]
 
-    def mlp_copies(l_, e_, kk_, slot_, width):
-        # w_up / w_gate ride the AUTO pipeline; only w_down streams via the
-        # pool. Measured perf-neutral vs all-manual (the step stays
-        # HBM-stream-bound either way: pipeline + manual fetches appear to
-        # share the same practical ~760 GB/s in-kernel ceiling on v5e —
-        # the same-process limit every stream pattern converges to,
-        # dma_bench.py),
-        # but it frees pool VMEM (up/mid buffers shrink to the attention
-        # widths), giving the chunk-size search more headroom.
-        # MoE: w_down is the expert-flattened [L*E, I, H] stack.
+    def mlp_copies(l_, e_, kk_, slot_):
+        # all three MLP weights stream through the pool; the edge chunk
+        # uses a CLAMPED start (alignment-safe) and the overlap columns
+        # are masked to zero in compute so nothing double-counts
         le = l_ * n_experts + e_ if moe else l_
-        return [pltpu.make_async_copy(
-            r["w_down"].at[le, pl.ds(kk_ * ic, width), :],
-            wbd.at[slot_, pl.ds(0, width), :], wsems.at[3, slot_])]
+        if single_chunk:
+            cps = [pltpu.make_async_copy(
+                       r["w_up"].at[le], wbu.at[slot_, :, pl.ds(0, I_true)],
+                       wsems.at[0, slot_]),
+                   pltpu.make_async_copy(
+                       r["w_down"].at[le],
+                       wbd.at[slot_, pl.ds(0, I_true), :],
+                       wsems.at[3, slot_])]
+            if r["w_gate"] is not None:
+                cps.append(pltpu.make_async_copy(
+                    r["w_gate"].at[le],
+                    wbm.at[slot_, :, pl.ds(0, I_true)],
+                    wsems.at[1, slot_]))
+            return cps
+        start_c = pl.multiple_of(jnp.minimum(kk_ * ic, I_total - ic), 128)
+        cps = [pltpu.make_async_copy(
+                   r["w_up"].at[le, :, pl.ds(start_c, ic)],
+                   wbu.at[slot_, :, pl.ds(0, ic)], wsems.at[0, slot_]),
+               pltpu.make_async_copy(
+                   r["w_down"].at[le, pl.ds(start_c, ic), :],
+                   wbd.at[slot_, pl.ds(0, ic), :], wsems.at[3, slot_])]
+        if r["w_gate"] is not None:
+            cps.append(pltpu.make_async_copy(
+                r["w_gate"].at[le, :, pl.ds(start_c, ic)],
+                wbm.at[slot_, :, pl.ds(0, ic)], wsems.at[1, slot_]))
+        return cps
 
     def start(cps):
         for c in cps:
@@ -382,79 +455,91 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
         for c in cps:
             c.wait()
 
-    @pl.when(step == 0)  # warm start: fetch the very first phase's weights
-    def _():
-        start(attn_copies(0, 0, 0) if Ka > 0 else
-              mlp_copies(0, 0, 0, 0, ic if Km > 1 else ic_edge))
+    def issue_global(gp):
+        """Issue the weight DMAs for GLOBAL phase gp (any layer) into its
+        slot — the ws-deep streaming queue is fed ws-1 phases ahead."""
+        l_ = gp // P
+        ph = gp - l_ * P
+        slot_ = lax.rem(gp, ws)
 
-    # prefetch the NEXT phase's chunks into the other slot
-    last = (layer == L - 1) & (s_idx == S - 1)
-    nxt_l = jnp.where(s_idx == S - 1, layer + 1, layer)
-    nxt_s = jnp.where(s_idx == S - 1, 0, s_idx + 1)
-    nslot = 1 - slot
+        @pl.when((gp < L * P) & (ph < Ka))
+        def _():
+            start(attn_copies(l_, ph, slot_))
 
-    @pl.when(jnp.logical_not(last) & (nxt_s < Ka))
-    def _():
-        start(attn_copies(nxt_l, nxt_s, nslot))
+        @pl.when((gp < L * P) & (ph >= Ka))
+        def _():
+            t_ = ph - Ka
+            e_ = t_ // Km if moe else jnp.int32(0)
+            start(mlp_copies(l_, e_, t_ - e_ * Km, slot_))
 
-    # next MLP phase's (expert, chunk): each expert's last chunk has the
-    # edge width (Km==1 makes every chunk the edge)
-    nt = jnp.maximum(nxt_s - Ka, 0)
-    ne = nt // Km if moe else jnp.int32(0)
-    nkk = nt - ne * Km
-
-    @pl.when(jnp.logical_not(last) & (nxt_s >= Ka) & (nkk < Km - 1))
-    def _():
-        start(mlp_copies(nxt_l, ne, nkk, nslot, ic))
-
-    @pl.when(jnp.logical_not(last) & (nxt_s >= Ka) & (nkk == Km - 1))
-    def _():
-        start(mlp_copies(nxt_l, ne, Km - 1, nslot, ic_edge))
-
-    @pl.when((layer == 0) & (s_idx == 0))
+    @pl.when(layer == 0)  # seed residual + warm the first ws-1 phases
     def _():
         x_res[...] = r["x"][...].astype(jnp.float32)
+        for w0 in range(ws - 1):
+            issue_global(jnp.int32(w0))
 
-    @pl.when(s_idx == 0)
-    def _():
-        acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
-        h_scr[...] = _norm(x_res[...], r["ln1_scale"], r["ln1_bias"],
-                           norm, eps).astype(h_scr.dtype)
+    # layer entry: zero the accumulator, norm1 into the hidden scratch
+    acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+    h_scr[...] = _norm(x_res[...], r["ln1_scale"], r["ln1_bias"],
+                       norm, eps).astype(h_scr.dtype)
 
-    # ---- attention phase: one query-head group -----------------------------
-    @pl.when(s_idx < Ka)
-    def _attn():
-        g = s_idx
-        ctx = pos
-        nb = (ctx + bs - 1) // bs
+    ctx = pos
+    nb = (ctx + bs - 1) // bs
 
-        def kv_copies(j, slot):
+    expand = r["expand"][...]                                 # [Hg, Qg] 0/1
+    expf = expand.astype(jnp.float32)
+    bf = cdtype
+
+    def row(name, start_l, width, e_idx=None):
+        ref = r[name]
+        if ref is None:
+            return None
+        sl = ref[0, :, pl.ds(start_l, width)]                 # [rows, width]
+        if sl.shape[0] > 1:  # per-expert rows (MoE): one-hot select
+            er = lax.broadcasted_iota(jnp.int32, sl.shape, 0)
+            sl = jnp.sum(jnp.where(er == e_idx, sl, 0.0), axis=0,
+                         keepdims=True)
+        return sl                                             # [1, width]
+
+    # ---- attention phases: one query-head group per iteration ------------
+    def attn_body(g, carry):
+        slot = lax.rem(base + g, ws)
+        issue_global(base + g + ws - 1)
+
+        def kv_copies(j, s2):
             kr = pltpu.make_async_copy(
                 r["k_cache"].at[layer, :, pl.ds(j * bs, bs),
-                                pl.ds(g * KVg, KVg)], kb.at[slot],
-                sems.at[slot])
+                                pl.ds(g * KVg, KVg)], kb.at[s2],
+                sems.at[s2])
             vr = pltpu.make_async_copy(
                 r["v_cache"].at[layer, :, pl.ds(j * bs, bs),
-                                pl.ds(g * KVg, KVg)], vb.at[slot],
-                sems.at[kv_depth + slot])
+                                pl.ds(g * KVg, KVg)], vb.at[s2],
+                sems.at[kv_depth + s2])
             return kr, vr
 
-        # KV block prefetch starts BEFORE the weight-chunk wait and the
-        # q/k/v projections, hiding the first transfers under compute;
-        # kv_depth-deep buffering (depth 3 ~765 GB/s vs double buffering's
-        # ~650 at these block sizes, dma_bench.py)
         for dd in range(kv_depth):
-            if smax >= (dd + 1) * bs:  # block exists statically
+            if smax >= (dd + 1) * bs:
                 @pl.when(nb > dd)
                 def _(dd=dd):
                     for c in kv_copies(dd, dd):
                         c.start()
 
+        if kv_quant:
+            ksd = pltpu.make_async_copy(r["ks_cache"].at[layer, :, g], ksb,
+                                        sems.at[2 * kv_depth])
+            vsd = pltpu.make_async_copy(r["vs_cache"].at[layer, :, g], vsb,
+                                        sems.at[2 * kv_depth + 1])
+            ksd.start()
+            vsd.start()
+
         wait(attn_copies(layer, g, slot))
         h16 = h_scr[...]
-        q = _mmv(h16, wbu[slot, :, :Qg], r["bq"], r["sq"])    # [B, Qg] f32
-        k = _mmv(h16, wbm[slot, :, :KVg], r["bk"], r["sk"])   # [B, KVg]
-        v = _mmv(h16, wbv_[slot, :, :KVg], r["bv"], r["sv"])
+        q = _mmvv(h16, wbu[slot, :, :Qg], row("bq", g * Qg, Qg),
+                  row("sq", g * Qg, Qg))                      # [B, Qg] f32
+        k = _mmvv(h16, wbm[slot, :, :KVg], row("bk", g * KVg, KVg),
+                  row("sk", g * KVg, KVg))
+        v = _mmvv(h16, wbv_[slot, :, :KVg], row("bv", g * KVg, KVg),
+                  row("sv", g * KVg, KVg))
         if r["rotq"] is not None:
             q = (q * r["cosq"][...].astype(jnp.float32)
                  + jnp.dot(q, r["rotq"][...].astype(jnp.float32),
@@ -468,24 +553,22 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
         if kv_quant:
             kq, ksc, k_dq = _quantize_heads(k, hkvg, D, hkvp)
             vq, vsc, v_dq = _quantize_heads(v, hkvg, D, hkvp)
-            k_new[...] = kq[None, :, None, :]
-            v_new[...] = vq[None, :, None, :]
-            # scale out block is (1, B, hkvp, 1) over [L, B, Ka*hkvp, 1]
-            ks_new[...] = ksc[None, :, :, None].astype(ks_new.dtype)
-            vs_new[...] = vsc[None, :, :, None].astype(vs_new.dtype)
+            k_new[:, :, :, pl.ds(g * KVg, KVg)] = kq[None, :, None, :]
+            v_new[:, :, :, pl.ds(g * KVg, KVg)] = vq[None, :, None, :]
+            ks_new[:, :, pl.ds(g * hkvp, hkvp), :] = \
+                ksc[None, :, :, None].astype(ks_new.dtype)
+            vs_new[:, :, pl.ds(g * hkvp, hkvp), :] = \
+                vsc[None, :, :, None].astype(vs_new.dtype)
             k, v = k_dq, v_dq
         else:
-            k_new[...] = k[None, :, None, :].astype(k_new.dtype)
-            v_new[...] = v[None, :, None, :].astype(v_new.dtype)
+            k_new[:, :, :, pl.ds(g * KVg, KVg)] = \
+                k[None, :, None, :].astype(k_new.dtype)
+            v_new[:, :, :, pl.ds(g * KVg, KVg)] = \
+                v[None, :, None, :].astype(v_new.dtype)
 
-        expand = r["expand"][...]                             # [Hg, Qg] 0/1
-        expf = expand.astype(jnp.float32)
-        bf = cdtype
         qs = q * scale
         qmask = qs[:, :, None] * expand.T[None].astype(jnp.float32)
         if grouped:
-            # batch-leading dot_general + transpose: the vmap'd form lowers
-            # to a [KVg, B, Hg]-major dot Mosaic can't lay out (small Hg)
             qmask = lax.dot_general(
                 qmask, r["group"][...].astype(jnp.float32),
                 (((1,), (1,)), ((), ())),
@@ -506,15 +589,16 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             return jnp.sum(pv_hk * expf[None], axis=1)        # [B, Qg]
 
         def to_qheads_t(sc_t):
-            return lax.dot_general(sc_t, r["kvmap"][...].astype(jnp.float32),
+            return lax.dot_general(sc_t,
+                                   r["kvmap"][...].astype(jnp.float32),
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-        def softmax_update(s, m, l, acc, vals, p_fold=None):
-            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        def softmax_update(sc_, m, l, acc, vals, p_fold=None):
+            m_new = jnp.maximum(m, jnp.max(sc_, axis=1, keepdims=True))
             alpha = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_new))
-            p = jnp.exp(s - m_new)
-            p = jnp.where(jnp.isneginf(s), 0.0, p)
+            p = jnp.exp(sc_ - m_new)
+            p = jnp.where(jnp.isneginf(sc_), 0.0, p)
             l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
             pv_p = p if p_fold is None else p * p_fold
             pv_hk = lax.dot_general(pv_p.astype(vals.dtype), vals,
@@ -527,36 +611,31 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             return m_new, l, acc
 
         if kv_quant:
-            ksd = pltpu.make_async_copy(r["ks_cache"].at[layer, :, g], ksb,
-                                        sems.at[2 * kv_depth])
-            vsd = pltpu.make_async_copy(r["vs_cache"].at[layer, :, g], vsb,
-                                        sems.at[2 * kv_depth + 1])
-            ksd.start()
-            vsd.start()
             ksd.wait()
             vsd.wait()
 
-        def block(j, carry):
-            m, l, acc = carry
-            slot = lax.rem(j, kv_depth)
-            kr, vr = kv_copies(j, slot)
+        def block(j, carry2):
+            m, l, acc = carry2
+            s2 = lax.rem(j, kv_depth)
+            kr, vr = kv_copies(j, s2)
             kr.wait()
             vr.wait()
-            kbv = kb[slot].astype(bf) if kv_quant else kb[slot]
-            s = lax.dot_general(kbv, qmask, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+            kbv = kb[s2].astype(bf) if kv_quant else kb[s2]
+            sc_ = lax.dot_general(kbv, qmask,
+                                  (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
             p_fold = None
             if kv_quant:
-                s = s * to_qheads_t(ksb[:, :, pl.ds(j * bs, bs)])
+                sc_ = sc_ * to_qheads_t(ksb[:, :, pl.ds(j * bs, bs)])
                 p_fold = to_qheads_t(vsb[:, :, pl.ds(j * bs, bs)])
-            col = j * bs + lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < ctx, s, NEG_INF)
-            vals = vb[slot].astype(bf) if kv_quant else vb[slot]
-            out = softmax_update(s, m, l, acc, vals, p_fold)
-            # refill the slot just consumed (reads above are complete)
+            col = j * bs + lax.broadcasted_iota(jnp.int32, sc_.shape, 1)
+            sc_ = jnp.where(col < ctx, sc_, NEG_INF)
+            vals = vb[s2].astype(bf) if kv_quant else vb[s2]
+            out = softmax_update(sc_, m, l, acc, vals, p_fold)
+
             @pl.when(j + kv_depth < nb)
             def _():
-                for c in kv_copies(j + kv_depth, slot):
+                for c in kv_copies(j + kv_depth, s2):
                     c.start()
             return out
 
@@ -574,125 +653,116 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
         l_safe = jnp.where(l_lane == 0.0, 1.0, l_lane)
         attn = (acc / l_safe).astype(cdtype)                  # [B, Qg]
 
-        # bo (whole-output bias) is added once at the fold phase, not per
-        # group partial-sum
-        o = _mmv(attn, wbd[slot, :Qg, :], None, r["so"])
+        o = _mmvv(attn, wbd[slot, :Qg, :], None,
+                  r["so"][0].astype(jnp.float32) if r["so"] is not None
+                  else None)
         acc_scr[...] = acc_scr[...] + o
+        return carry
 
-    # ---- fold attention result, switch hidden scratch to norm2 -------------
-    @pl.when(s_idx == Ka)
-    def _():
-        x32 = x_res[...] + acc_scr[...]
-        if r["bo"] is not None:
-            x32 = x32 + r["bo"][0].astype(jnp.float32)
-        x_res[...] = x32
-        hn16 = _norm(x32, r["ln2_scale"], r["ln2_bias"],
-                     norm, eps).astype(h_scr.dtype)
-        h_scr[...] = hn16
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-        if moe:
-            # In-kernel router (twin of ops.moe.router_topk): softmax over
-            # all experts, keep top-k (ties -> lowest index, matching
-            # lax.top_k), renormalize the kept weights. Runs once per layer
-            # on the normed hidden, BEFORE the first expert phase below.
-            wr = r["router"][0].astype(jnp.float32)           # [h, E]
-            logits = jnp.dot(hn16.astype(jnp.float32), wr,
-                             preferred_element_type=jnp.float32)  # [B, E]
-            m = jnp.max(logits, axis=1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=1, keepdims=True)
-            lane = lax.broadcasted_iota(jnp.int32, p.shape, 1)
-            comb = jnp.zeros_like(p)
-            rem_p = p
-            for _ in range(top_k):
-                mx = jnp.max(rem_p, axis=1, keepdims=True)
-                ismx = rem_p == mx
-                first = jnp.min(
-                    jnp.where(ismx, lane, jnp.int32(2 ** 31 - 1)),
-                    axis=1, keepdims=True)
-                pick = lane == first
-                comb = jnp.where(pick, p, comb)
-                rem_p = jnp.where(pick, NEG_INF, rem_p)
-            comb_scr[...] = comb / jnp.sum(comb, axis=1, keepdims=True)
+    lax.fori_loop(0, Ka, attn_body, 0)
 
-    # ---- MLP phase: one (expert,) intermediate chunk ------------------------
-    @pl.when(s_idx >= Ka)
-    def _mlp():
-        t = s_idx - Ka
+    # ---- fold attention, norm2 (+ in-kernel router for MoE) ----------------
+    x32 = x_res[...] + acc_scr[...]
+    if r["bo"] is not None:
+        x32 = x32 + r["bo"][0].astype(jnp.float32)
+    x_res[...] = x32
+    hn16 = _norm(x32, r["ln2_scale"], r["ln2_bias"], norm, eps
+                 ).astype(h_scr.dtype)
+    h_scr[...] = hn16
+    acc_scr[...] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
+    if moe:
+        wr = r["router"][0].astype(jnp.float32)               # [h, E]
+        logits = jnp.dot(hn16.astype(jnp.float32), wr,
+                         preferred_element_type=jnp.float32)  # [B, E]
+        mx0 = jnp.max(logits, axis=1, keepdims=True)
+        pp = jnp.exp(logits - mx0)
+        pp = pp / jnp.sum(pp, axis=1, keepdims=True)
+        lane = lax.broadcasted_iota(jnp.int32, pp.shape, 1)
+        comb = jnp.zeros_like(pp)
+        rem_p = pp
+        for _ in range(top_k):
+            mx = jnp.max(rem_p, axis=1, keepdims=True)
+            ismx = rem_p == mx
+            first = jnp.min(
+                jnp.where(ismx, lane, jnp.int32(2 ** 31 - 1)),
+                axis=1, keepdims=True)
+            pick = lane == first
+            comb = jnp.where(pick, pp, comb)
+            rem_p = jnp.where(pick, NEG_INF, rem_p)
+        comb_scr[...] = comb / jnp.sum(comb, axis=1, keepdims=True)
+
+    # ---- MLP phases: one (expert,) intermediate chunk per iteration --------
+    w_eff = I_true if single_chunk else ic
+
+    def mlp_body(t, carry):
         e_idx = t // Km if moe else jnp.int32(0)
         kk = t - e_idx * Km
+        slot = lax.rem(base + Ka + t, ws)
+        issue_global(base + Ka + t + ws - 1)
 
-        @pl.when(kk < Km - 1)
-        def _():
-            wait(mlp_copies(layer, e_idx, kk, slot, ic))
-
-        @pl.when(kk == Km - 1)
-        def _():
-            wait(mlp_copies(layer, e_idx, Km - 1, slot, ic_edge))
-
+        wait(mlp_copies(layer, e_idx, kk, slot))
         h16 = h_scr[...]
-        u = _mmv(h16, r["w_up"][0], r["b_up"], r["s_up"])       # [B, ic]
-        # mask lanes beyond the true intermediate width (last chunk reads
-        # ic-wide scratch whose tail is stale — zeroed here before use)
-        col = kk * ic + lax.broadcasted_iota(jnp.int32, u.shape, 1)
-        valid = col < I_total
+        start_c = (jnp.int32(0) if single_chunk
+                   else pl.multiple_of(
+                       jnp.minimum(kk * ic, I_total - ic), 128))
+        bu = row("b_up", start_c, w_eff)
+        su = row("s_up", start_c, w_eff, e_idx)
+        u = _mmvv(h16, wbu[slot, :, :w_eff], bu, su)          # [B, w_eff]
+        # mask columns already covered by the previous chunk (clamped-start
+        # overlap) and beyond the true width — they contribute zero
+        col = start_c + lax.broadcasted_iota(jnp.int32, u.shape, 1)
+        valid = (col >= kk * ic) & (col < I_total)
         u = jnp.where(valid, u, 0.0)
         if gated:
-            gt = _mmv(h16, r["w_gate"][0], r["b_gate"], r["s_gate"])
+            gt = _mmvv(h16, wbm[slot, :, :w_eff],
+                       row("b_gate", start_c, w_eff),
+                       row("s_gate", start_c, w_eff, e_idx))
             gt = jnp.where(valid, gt, 0.0)
         else:
             gt = None
         act = _activate(u, gt, activation).astype(cdtype)
-        wd = wbd[slot, :ic, :]
-        # Zero garbage rows of the edge block (unspecified padding may be
-        # non-finite; 0 * NaN would poison the matmul), mask+cast+dot in
-        # contracting sub-chunks so only a bounded bf16 slice is ever live
-        # in vregs (a whole-chunk cast is ~25 MB at 70B shapes and spills).
+        wd = wbd[slot, :w_eff, :]
         H_out = wd.shape[1]
         rows = max(512, _CAST_CHUNK_BYTES // (H_out * 2) // 512 * 512)
-        if ic <= rows or ic % rows:
-            spans = [(0, ic)]
+        if w_eff <= rows or w_eff % rows:
+            spans = [(0, w_eff)]
         else:
-            spans = [(j, rows) for j in range(0, ic, rows)]
+            spans = [(j, rows) for j in range(0, w_eff, rows)]
         from mlio_tpu.ops.quant import cast_weight as _cw
         d = None
         for j0, nr in spans:
-            row = (kk * ic + j0
-                   + lax.broadcasted_iota(jnp.int32, (nr, 1), 0))
             wdj = wd[j0:j0 + nr]
             if r["s_down"] is not None:
                 wdj = _cw(wdj, cdtype)
-            # zero garbage rows of the edge block AFTER the cast (select
-            # does not propagate NaN, so non-finite padding is safe)
-            wdj = jnp.where(row < I_total, wdj,
-                            jnp.zeros((), wdj.dtype))
             part = jnp.dot(act[:, j0:j0 + nr], wdj,
                            preferred_element_type=jnp.float32)
             d = part if d is None else d + part
         if r["s_down"] is not None:
-            d = d * r["s_down"][0].astype(jnp.float32)
+            sdn = r["s_down"][0]
+            if moe:  # [E, H] per-layer block: one-hot select expert row
+                erow = lax.broadcasted_iota(jnp.int32, sdn.shape, 0)
+                sdn = jnp.sum(jnp.where(erow == e_idx, sdn, 0.0), axis=0,
+                              keepdims=True)
+            d = d * sdn.astype(jnp.float32)
         if moe:
-            # weight this expert's contribution by its per-token combine
-            # weight (0 for tokens not routed here — masked-dense combine;
-            # at decode batch sizes nearly every expert is routed anyway,
-            # so streaming all experts is roofline-neutral)
             lane_e = lax.broadcasted_iota(jnp.int32, (B, n_experts), 1)
             w_e = jnp.sum(jnp.where(lane_e == e_idx, comb_scr[...], 0.0),
-                          axis=1, keepdims=True)               # [B, 1]
+                          axis=1, keepdims=True)              # [B, 1]
             d = d * w_e
         acc_scr[...] = acc_scr[...] + d
+        return carry
 
-    # ---- final fold ----------------------------------------------------------
-    @pl.when(s_idx == S - 1)
+    lax.fori_loop(0, EKm, mlp_body, 0)
+
+    # ---- final fold ---------------------------------------------------------
+    x32 = x_res[...] + acc_scr[...]
+    if r["b_down"] is not None:
+        x32 = x32 + r["b_down"][0].astype(jnp.float32)
+    x_res[...] = x32
+
+    @pl.when(layer == pl.num_programs(0) - 1)
     def _():
-        x32 = x_res[...] + acc_scr[...]
-        if r["b_down"] is not None:
-            x32 = x32 + r["b_down"][0].astype(jnp.float32)
-        x_res[...] = x32
-
-        @pl.when(layer == pl.num_programs(0) - 1)
-        def _():
-            x_out[...] = x32.astype(x_out.dtype)
+        x_out[...] = x32.astype(x_out.dtype)
 
 
 def decode_layer_tiled(
@@ -733,7 +803,7 @@ def decode_layer_tiled(
                                1 if kv_quant else 2,
                                weight_fmt=_weight_fmt(blocks))
     assert tiling is not None, "no VMEM-feasible tiling for this model"
-    Hg, ic, Ka, Km = tiling
+    Hg, ic, Ka, Km = tiling[:4]
     hkvg = Hkv // Ka
     Qg, KVg = Hg * D, hkvg * D
     G = Hq // Hkv
@@ -802,7 +872,7 @@ def decode_layer_tiled(
                 assert w.fmt in ("int8", "fp8"), \
                     "tiled megakernel handles int8/fp8 weight quant only"
                 q = w.q.reshape((L * E,) + w.q.shape[2:])
-                sc = w.scale.astype(jnp.float32).reshape(L * E, 1, -1)
+                sc = w.scale.astype(jnp.float32).reshape(L * E, -1)
                 return q, sc
             return w.reshape((L * E,) + w.shape[2:]), None
 
@@ -846,64 +916,22 @@ def decode_layer_tiled(
             operands[n] = v[:, None, :]
     flags = {n: operands[n] is not None for n in _NAMES}
 
-    def amap(which):
-        """Index map for attention-phase chunked weights."""
-        if which == "col":   # [L, h, out] sliced on dim 2
-            return lambda l, s, *_: (l, 0, jnp.minimum(s, Ka - 1))
-        return lambda l, s, *_: (l, jnp.minimum(s, Ka - 1), 0)  # wo rows
-
+    # Per-layer FULL rows for every bias/scale (the kernel lane-slices its
+    # phase's span in-body); all seven big weights + caches stream via
+    # MANUAL DMA (memory_space ANY) through the shared pool. MoE scales
+    # ride as per-layer [1, E, X] blocks (expert row one-hot selected
+    # in-kernel).
     if moe:
-        # MLP phase s maps to expert e = (s-Ka)//Km of the [L*E, ...]
-        # flattened stacks, chunk kk = (s-Ka) % Km
-        def _mle(l, s):
-            t = jnp.maximum(s - Ka, 0)
-            return l * E + t // Km
-
-        def _mkk(s):
-            t = jnp.maximum(s - Ka, 0)
-            return t - (t // Km) * Km
-
-        def mmap(which):
-            if which == "col":   # [L*E, h, I] sliced on dim 2
-                return lambda l, s, *_: (_mle(l, s), 0, _mkk(s))
-            return lambda l, s, *_: (_mle(l, s), _mkk(s), 0)
-    else:
-        def mmap(which):
-            """Index map for MLP-phase chunked weights."""
-            if which == "col":   # [L, h, I] sliced on dim 2
-                return lambda l, s, *_: (l, 0,
-                                         jnp.clip(s - Ka, 0, Km - 1))
-            return lambda l, s, *_: (l, jnp.clip(s - Ka, 0, Km - 1), 0)
-
-    # Big weights stream via MANUAL DMA from HBM into the shared pool (see
-    # _tiled_kernel); only their small scales/biases ride the block pipeline.
-    CHUNKED = {
-        "sq": ((1, 1, Qg), amap("col")),
-        "sk": ((1, 1, KVg), amap("col")),
-        "sv": ((1, 1, KVg), amap("col")),
-        "bq": ((1, 1, Qg), amap("col")),
-        "bk": ((1, 1, KVg), amap("col")),
-        "bv": ((1, 1, KVg), amap("col")),
-        "s_up": ((1, 1, ic), mmap("col")),
-        "s_gate": ((1, 1, ic), mmap("col")),
-        "b_up": ((1, 1, ic), mmap("col")),
-        "b_gate": ((1, 1, ic), mmap("col")),
-        # the big up/gate chunks ride the auto pipeline: its fetches run on
-        # a different DMA stream than the kernel's manual copies, so the
-        # MLP weight read overlaps the pool (wq..wo, w_down) + KV streams
-        "w_up": ((1, H, ic), mmap("col")),
-        "w_gate": ((1, H, ic), mmap("col")),
-    }
-    HBM_STREAMED = {"wq", "wk", "wv", "wo", "w_down",
+        for nm in ("s_up", "s_gate", "s_down"):
+            v = operands[nm]
+            if v is not None:
+                operands[nm] = v.reshape(L, E, -1)
+    HBM_STREAMED = {"wq", "wk", "wv", "wo", "w_up", "w_gate", "w_down",
                     "k_cache", "v_cache", "ks_cache", "vs_cache"}
     PER_LAYER_FULL = {"ln1_scale", "ln1_bias", "ln2_scale", "ln2_bias",
-                      "so", "bo", "s_down", "b_down", "router"}
-    if moe:
-        # s_down is per-(layer, expert): ride the chunk pipeline keyed on
-        # the flattened leading dim instead of the per-layer map
-        PER_LAYER_FULL = PER_LAYER_FULL - {"s_down"}
-        CHUNKED["s_down"] = ((1, 1, H),
-                             lambda l, s, *_: (_mle(l, s), 0, 0))
+                      "sq", "bq", "sk", "bk", "sv", "bv", "so", "bo",
+                      "s_up", "b_up", "s_gate", "b_gate", "s_down",
+                      "b_down", "router"}
 
     in_specs = []
     args = []
@@ -914,22 +942,18 @@ def decode_layer_tiled(
         args.append(v)
         if n in HBM_STREAMED:
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        elif n in CHUNKED:
-            shape, imap = CHUNKED[n]
-            in_specs.append(pl.BlockSpec(shape, imap))
         elif n in PER_LAYER_FULL:
             in_specs.append(pl.BlockSpec(
                 (1,) + v.shape[1:],
-                lambda l, s, *_, _nd=v.ndim: (l,) + (0,) * (_nd - 1)))
+                lambda l, *_, _nd=v.ndim: (l,) + (0,) * (_nd - 1)))
         else:  # whole-array constants
             in_specs.append(pl.BlockSpec(
-                v.shape, lambda l, s, *_, _nd=v.ndim: (0,) * _nd))
+                v.shape, lambda l, *_, _nd=v.ndim: (0,) * _nd))
 
-    kv_g = lambda l, s, *_: (l, 0, 0, jnp.minimum(s, Ka - 1))
     out_specs = [
-        pl.BlockSpec((B, H), lambda l, s, *_: (0, 0)),
-        pl.BlockSpec((1, B, 1, KVg), kv_g),
-        pl.BlockSpec((1, B, 1, KVg), kv_g),
+        pl.BlockSpec((B, H), lambda l, *_: (0, 0)),
+        pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (l, 0, 0, 0)),
+        pl.BlockSpec((1, B, 1, KVd), lambda l, *_: (l, 0, 0, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, H), x.dtype),
@@ -941,10 +965,8 @@ def decode_layer_tiled(
         assert k_scales.shape == (L, B, Ka, hkvp, Smax), (
             "tiled path expects group-major padded scale caches "
             "(pad_scales_for_tiled)")
-        # sublane-major scale blocks (1, B, hkvp, 1) satisfy the (8, 128)
-        # tiling rule (minor dim full); reshaped to groups outside
-        sc_g = lambda l, s, *_: (l, 0, jnp.minimum(s, Ka - 1), 0)
-        out_specs += [pl.BlockSpec((1, B, hkvp, 1), sc_g)] * 2
+        out_specs += [pl.BlockSpec((1, B, Ka * hkvp, 1),
+                                   lambda l, *_: (l, 0, 0, 0))] * 2
         out_shape += [jax.ShapeDtypeStruct((L, B, Ka * hkvp, 1),
                                            jnp.float32)] * 2
 
@@ -957,20 +979,23 @@ def decode_layer_tiled(
         kv_depth=kv_depth)
 
     # shared weight pool: 4 double-buffered scratch buffers reused by the
-    # attention and MLP phases (manual DMA; halves the VMEM footprint vs
-    # per-operand pipeline buffers and so doubles the feasible chunk)
+    # attention and MLP phases (all-manual DMA; sharing across ALL seven
+    # weights keeps the footprint to max(attn, mlp) widths per buffer)
     wdt = wq_.dtype
     assert all(w is None or w.dtype == wdt
                for w in (wk_, wv_, wo_, wu_, wg_, wd_)), \
         "tiled megakernel expects a uniform weight storage dtype"
-    ic_edge = spec.intermediate_size - (tiling.km - 1) * ic
     algn = {1: 32, 2: 16, 4: 8}.get(jnp.dtype(wdt).itemsize, 8)
-    assert ic % algn == 0 and ic_edge % algn == 0, (
-        "intermediate chunk not DMA-sliceable for this dtype", ic, ic_edge)
-    cup = Qg           # attention q only (w_up rides the pipeline)
-    cmid = KVg         # attention k only (w_gate rides the pipeline)
-    cdn = max(Qg, ic)
-    pos_spec = pl.BlockSpec((1, 1), lambda l, s, *_: (0, 0),
+    if tiling.km > 1:
+        assert ic % 128 == 0 and spec.intermediate_size % 128 == 0, (
+            "multi-chunk MLP needs 128-aligned intermediate slicing "
+            "(clamped-start edge chunks)", ic, spec.intermediate_size)
+    assert ic % algn == 0, ("intermediate chunk not DMA-sliceable", ic)
+    icb = ic if tiling.km > 1 else _pad(spec.intermediate_size, 128)
+    cup = max(Qg, icb)            # wq / w_up
+    cmid = max(KVg, icb) if gated else KVg            # wk / w_gate
+    cdn = max(Qg, icb)            # wo / w_down rows
+    pos_spec = pl.BlockSpec((1, 1), lambda l, *_: (0, 0),
                             memory_space=pltpu.SMEM)
     scratch = [
         pltpu.VMEM((B, H), jnp.float32),                      # residual
@@ -985,25 +1010,26 @@ def decode_layer_tiled(
     ]
     if kv_quant:
         scratch += [pltpu.VMEM((B, hkvp, Smax), jnp.float32)] * 2
+    ws = tiling.ws
     scratch += [
-        pltpu.VMEM((2, H, cup), wdt),                         # wq / w_up
-        pltpu.VMEM((2, H, cmid), wdt),                        # wk / w_gate
-        pltpu.VMEM((2, H, KVg), wdt),                         # wv
-        pltpu.VMEM((2, cdn, H), wdt),                         # wo / w_down
-        pltpu.SemaphoreType.DMA((4, 2)),                      # weight sems (buffer, slot)
+        pltpu.VMEM((ws, H, cup), wdt),                        # wq / w_up
+        pltpu.VMEM((ws, H, cmid), wdt),                       # wk / w_gate
+        pltpu.VMEM((ws, H, KVg), wdt),                        # wv
+        pltpu.VMEM((ws, cdn, H), wdt),                        # wo / w_down
+        pltpu.SemaphoreType.DMA((4, ws)),                     # (buffer, slot)
     ]
     scratch.append(pltpu.SemaphoreType.DMA(
         (2 * kv_depth + (2 if kv_quant else 0),)))
 
     outs = pl.pallas_call(
         kernel,
-        grid=(L, Ka + (E if moe else 1) * Km),
+        grid=(L,),
         in_specs=[pos_spec] + in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,

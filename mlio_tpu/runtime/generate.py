@@ -81,14 +81,15 @@ def _generate_impl(
             from mlio_tpu.ops.decode_tiled import (
                 _weight_fmt,
                 _weight_itemsize,
-                choose_tiling,
                 pad_scales_for_tiled,
+                resolve_tiling,
             )
 
-            tiling = choose_tiling(spec, B,
-                                   _weight_itemsize(params["blocks"]) or 2,
-                                   1 if quantized else 2,
-                                   weight_fmt=_weight_fmt(params["blocks"]))
+            tiling = resolve_tiling(
+                spec, B, _weight_itemsize(params["blocks"]) or 2,
+                1 if quantized else 2,
+                weight_fmt=_weight_fmt(params["blocks"]),
+                cache_len=cache_len, quant=quantized)
             cache["k_scale"] = pad_scales_for_tiled(
                 cache["k_scale"], spec.num_kv_heads, tiling.ka)
             cache["v_scale"] = pad_scales_for_tiled(

@@ -63,10 +63,11 @@ def test_tiled_matches_scan_decode(name):
 
 def test_tiled_multiphase_with_edge_masking():
     """Force multi-group attention + multi-chunk MLP where the intermediate
-    width does NOT divide the chunk (the edge chunk's out-of-range lanes and
-    weight rows must be masked in-kernel)."""
+    width does NOT divide the chunk: the edge chunk streams with a CLAMPED
+    start (alignment-safe DMA) and its overlap columns — already covered by
+    the previous chunk — must be masked to zero in-kernel."""
     spec = dataclasses.replace(get_spec("llama-tiny"), name="tile-test",
-                               intermediate_size=224)  # 224 = 2*96 + 32
+                               intermediate_size=384)  # 384 = 256 + 128
     params = init_params(spec, jax.random.PRNGKey(2), dtype=jnp.float32)
     B, CACHE = 2, 32
     cache = init_cache(spec, B, CACHE, dtype=jnp.float32)
@@ -79,8 +80,9 @@ def test_tiled_multiphase_with_edge_masking():
 
     flat_k = cache["k"].reshape(*cache["k"].shape[:3], -1)
     flat_v = cache["v"].reshape(*cache["v"].shape[:3], -1)
-    # 2 attention groups (2 q heads / 1 kv head each) + 3 MLP chunks of 96
-    tiling = Tiling(hg=2, ic=96, ka=2, km=3)
+    # 2 attention groups (2 q heads / 1 kv head each) + 2 MLP chunks of
+    # 256 (edge chunk 128 wide -> clamped start overlaps by 128 columns)
+    tiling = Tiling(hg=2, ic=256, ka=2, km=2)
     x = params["tok_embed"][tok[:, 0]]
     from mlio_tpu.models.transformer import rope_cos_sin
 
@@ -238,14 +240,15 @@ def test_tiled_moe_generate_roundtrip():
 
 
 def test_supports_decode_tiled_moe_geometry():
-    """The moe-13b bench geometry must qualify and pick whole-expert
-    chunks (Km=1): 1 attention + E expert phases per layer."""
+    """The moe-13b bench geometry must qualify with triple-buffered
+    weight streaming (ws=3; depth-2 queues drain between wait and refill,
+    dma_bench.py) and a VMEM-feasible expert chunk."""
     spec = dataclasses.replace(
         get_spec("mixtral-8x7b"), name="moe-13b",
         hidden_size=2048, num_layers=24, num_heads=16, num_kv_heads=4,
         intermediate_size=5632, vocab_size=32000)
     t = choose_tiling(spec, 8, 1, 1)
-    assert t is not None and t.km == 1 and t.ic == 5632
+    assert t is not None and t.ws == 3 and t.km <= 2
 
 
 def test_supports_decode_tiled_gating():
