@@ -708,7 +708,7 @@ def spec_decode(model='gpt2-medium', new_tokens=256, draft_layers=8):
                                    else v for k, v in st_draft.items()}}}}
 
 
-def engine_bench(n_prompts=24, max_new=128):
+def engine_bench(n_prompts=24, max_new=256):
     """Continuous-batching serving throughput: InferenceEngine.run over a
     mixed-length prompt set on the paged KV cache (prefill bucketing,
     admission, block allocation, batched decode). The engine's decode path
@@ -732,16 +732,36 @@ def engine_bench(n_prompts=24, max_new=128):
                for _ in range(n_prompts)]
 
     # block_size=128: one pool block == one kernel scan block (big DMAs);
-    # steps_per_dispatch=64 amortizes this remote backend's ~25ms relay
+    # steps_per_dispatch=128 amortizes this remote backend's ~25ms relay
     # latency per dispatch (a local TPU host pays ~0.1ms)
     engine = InferenceEngine(spec, params, max_batch=8, num_blocks=256,
                              block_size=128, impl=impl,
-                             steps_per_dispatch=64)
+                             steps_per_dispatch=128)
     assert engine.decode_stack == "mega"
     # warm with a REPRESENTATIVE wave: full admission width + both prompt
     # buckets + a full-size decode chunk, so no jit variant compiles
     # inside the timed window
-    engine.run(prompts[:8], max_new_tokens=64)
+    engine.run(prompts[:8], max_new_tokens=128)
+    # measure THIS backend's per-dispatch latency (a trivial jitted op,
+    # timed after warm) so the relay tax can be separated honestly
+    import numpy as _np
+
+    tiny = jax.jit(lambda a: a + 1)
+    int(tiny(jnp.int32(0)))
+    lats = []
+    for _ in range(6):
+        t0 = time.time()
+        int(tiny(jnp.int32(len(lats))))
+        lats.append(time.time() - t0)
+    dispatch_s = float(_np.median(lats))
+    n_disp_cnt = [0]
+    orig_step = engine.step
+
+    def counted_step():
+        n_disp_cnt[0] += 1
+        return orig_step()
+
+    engine.step = counted_step
     t0 = time.time()
     outs = engine.run(prompts, max_new_tokens=max_new)
     dt = time.time() - t0
@@ -758,21 +778,29 @@ def engine_bench(n_prompts=24, max_new=128):
         return int(out[0, -1])
 
     gen_tok_s = 8 / _marginal_step(run, 32, 160)
-    # dispatch accounting so the relay tax is visible: waves * (prefill +
-    # decode-chunk dispatches) * ~25ms is environmental, not engine design
-    n_disp = int(np.ceil(n_prompts / 8) * (1 + np.ceil(max_new / 64)))
+    # relay-tax accounting: each engine.step() is ~2 host->device round
+    # trips (plan fetch + dispatch chain); subtracting the MEASURED
+    # per-dispatch latency (minus a generous 0.5ms local-host allowance)
+    # projects what the same engine does on a local TPU host
+    relay_tax = n_disp_cnt[0] * 2 * max(dispatch_s - 5e-4, 0.0)
+    proj_local = n_prompts * max_new / max(dt - relay_tax, 1e-6)
     return {"metric": "engine_decode_tokens_per_sec",
             "value": round(tok_s, 1), "unit": "tok/s",
             "vs_baseline": round(tok_s / gen_tok_s, 3),
             "detail": {"n_prompts": n_prompts, "max_new": max_new,
                        "generate_megakernel_tok_s": round(gen_tok_s, 1),
-                       "est_dispatches": n_disp,
+                       "engine_steps": n_disp_cnt[0],
+                       "measured_dispatch_ms": round(dispatch_s * 1e3, 2),
+                       "projected_local_host_tok_s": round(proj_local, 1),
+                       "projected_local_vs_generate": round(
+                           proj_local / gen_tok_s, 3),
                        "note": "vs_baseline = fraction of megakernel "
-                               "generate throughput; the engine decodes "
-                               "through the paged megakernel, so the "
-                               "remaining gap is prefill waves + this "
-                               "backend's ~25ms relay latency per "
-                               "dispatch (~0.1ms on a local TPU host)"}}
+                               "generate throughput AS CAPTURED on this "
+                               "relay backend; the engine decodes through "
+                               "the paged megakernel, and the projection "
+                               "subtracts the measured per-dispatch relay "
+                               "latency (local TPU hosts pay ~0.1-0.5ms, "
+                               "not ~25ms)"}}
 
 
 REAL_WEIGHTS_DIR = None  # set by run_benches.py --real-weights <dir>

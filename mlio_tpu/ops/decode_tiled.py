@@ -127,7 +127,10 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
 
     scratch = 3 * B * _pad(h, 128) * 4 + (2 << 20)  # x_res/h/acc + consts
     best = None
-    for ws, ka in [(w_, k_) for w_ in (3, 2) for k_ in (1, 2, 4, 8, 16)]:
+    # static default: ws=2 (chip-measured best at 7B-class chunk sizes;
+    # ws=3 is in the TUNER's search space for classes where deeper
+    # streaming wins)
+    for ws, ka in [(2, k_) for k_ in (1, 2, 4, 8, 16)]:
         if Hq % ka or Hkv % ka:
             # kv heads must split evenly into the same number of groups
             continue
@@ -165,11 +168,9 @@ def choose_tiling(spec, B: int, weight_itemsize: int = 1,
             # slicing; unaligned models must fit in one chunk
             continue
         cand = Tiling(hg=hg, ic=ic, ka=ka, km=km, ws=ws)
-        # prefer triple-buffered streaming (ws=3: the depth-2 queue
-        # drains between wait and refill, dma_bench.py), then the fewest
-        # total phases
-        if best is None or (-cand.ws, cand.ka + cand.km) < (
-                -best.ws, best.ka + best.km):
+        # prefer the fewest total phases among feasible static candidates
+        # (the tuner refines chunk size per shape class)
+        if best is None or (cand.ka + cand.km) < (best.ka + best.km):
             best = cand
     return best
 

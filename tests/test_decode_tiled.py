@@ -240,15 +240,14 @@ def test_tiled_moe_generate_roundtrip():
 
 
 def test_supports_decode_tiled_moe_geometry():
-    """The moe-13b bench geometry must qualify with triple-buffered
-    weight streaming (ws=3; depth-2 queues drain between wait and refill,
-    dma_bench.py) and a VMEM-feasible expert chunk."""
+    """The moe-13b bench geometry must qualify and pick whole-expert
+    chunks (Km=1): 1 attention + E expert phases per layer."""
     spec = dataclasses.replace(
         get_spec("mixtral-8x7b"), name="moe-13b",
         hidden_size=2048, num_layers=24, num_heads=16, num_kv_heads=4,
         intermediate_size=5632, vocab_size=32000)
     t = choose_tiling(spec, 8, 1, 1)
-    assert t is not None and t.ws == 3 and t.km <= 2
+    assert t is not None and t.km == 1 and t.ic == 5632
 
 
 def test_supports_decode_tiled_gating():
