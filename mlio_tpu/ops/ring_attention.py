@@ -190,38 +190,24 @@ def chunked_ring_attention(
     vr = v.reshape(B, n_chunks, C, Hkv, D).transpose(1, 0, 2, 3, 4)
 
     if use_flash:
-        # Flash path: collect per-chunk (o, lse) and do ONE weighted merge
-        # at the end — the per-chunk running (m, l, acc) rescale passes
-        # were ~40% of the 65K wall clock (each touches the full f32
-        # accumulator). q is pre-transposed ONCE and the kernel keeps its
-        # native head-major output (q_layout / out_layout "bhsd").
+        # Single-device fold (VERDICT r4 #3): when every K/V chunk is
+        # local and contiguous — always true in this single-device
+        # schedule — the ring chunk loop IS the streamed flash kernel's
+        # sequential kv-chunk grid dimension, so the whole walk runs as
+        # ONE kernel with the (m, l, acc) carry in VMEM scratch: no
+        # per-chunk launches, no stacked (o, lse) buffers, no final merge
+        # pass over O(n_chunks * Sq * D) f32. The DISTRIBUTED ring (K/V
+        # rotating between chips) keeps the per-step chunk_step_flash
+        # carry merge with a ppermute between steps
+        # (parallel/sequence_parallel.py) — that merge is what the
+        # collective schedule fundamentally requires; on one device it is
+        # pure overhead.
         from mlio_tpu.ops.flash_attention import flash_attention
 
-        qt = qf.transpose(0, 2, 1, 3)  # [B, Hq, Sq, D], once
-
-        def body(_, inputs):
-            ci, kc, vc = inputs
-            kv_local = None
-            if kv_len is not None:
-                kv_local = jnp.clip(jnp.asarray(kv_len) - ci * C, 0, C)
-            o_c, lse = flash_attention(
-                qt, kc, vc, causal=causal, scale=scale,
-                q_offset=jnp.asarray(q_offset) - ci * C, kv_len=kv_local,
-                return_stats=True, interpret=interpret,
-                q_layout="bhsd", out_layout="bhsd")
-            return (), (o_c, lse)
-
-        _, (os_, lses) = lax.scan(body, (),
-                                  (jnp.arange(n_chunks), kr, vr))
-        # final merge: out = sum_i exp(lse_i - lse*) o_i / sum_i exp(...)
-        m = jnp.max(lses, axis=0)                        # [B, Hq, Sq]
-        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
-        w = jnp.exp(lses - m_safe[None])                 # [n, B, Hq, Sq]
-        den = jnp.sum(w, axis=0)
-        den = jnp.where(den == 0.0, 1.0, den)
-        out = jnp.einsum("nbhs,nbhsd->bhsd", w,
-                         os_.astype(jnp.float32)) / den[..., None]
-        return out.transpose(0, 2, 1, 3).astype(q.dtype)
+        return flash_attention(
+            q, k, v, causal=causal, scale=scale,
+            q_offset=jnp.asarray(q_offset), kv_len=kv_len,
+            interpret=interpret)
 
     def body(carry, inputs):
         m, l, acc = carry
