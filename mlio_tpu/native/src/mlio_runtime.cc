@@ -311,6 +311,25 @@ struct Scheduler {
     return 0;
   }
 
+  // Pipelined prefill: ctx advances now (decode planning needs it), the
+  // device-sampled token arrives later via resolve_prefill.
+  int commit_prefill_pending(int s) {
+    Slot& sl = slots[s];
+    if (!sl.active) return -1;
+    ctx[s] = static_cast<int32_t>(sl.req.prompt.size()) + 1;
+    ++n_prefills;
+    return 0;
+  }
+  int resolve_prefill(int s, int32_t token) {
+    Slot& sl = slots[s];
+    if (!sl.active) return -1;
+    sl.req.output.push_back(token);
+    cur[s] = token;
+    ++n_generated;
+    finish_if_done(s);
+    return 0;
+  }
+
   // Preempt the youngest active slot (recompute policy): its blocks are
   // freed and the request re-queued at the FRONT with prompt+output as the
   // new prompt, so no generated tokens are lost.
@@ -384,7 +403,10 @@ struct Scheduler {
   // finishes mid-chunk stay exact: commit (called per row) trims at the
   // EOS. Never preempts for speculative headroom — on block shortage k
   // shrinks instead. Returns 0 when nothing is active.
-  int plan_multi_step(int k_max) {
+  // `reserve`: uncommitted positions already dispatched (the engine's
+  // pipelined mode plans chunk N+1 before chunk N's tokens arrive, so
+  // blocks must cover ctx + reserve + k).
+  int plan_multi_step(int k_max, int reserve = 0) {
     bool any = false;
     for (int s = 0; s < max_batch; ++s) {
       if (slots[s].active) { any = true; break; }
@@ -399,7 +421,7 @@ struct Scheduler {
       for (int s = 0; s < max_batch && ok; ++s) {
         Slot& sl = slots[s];
         if (!sl.active) continue;
-        int needed = (ctx[s] + k + block_size - 1) / block_size;
+        int needed = (ctx[s] + reserve + k + block_size - 1) / block_size;
         if (needed > max_blocks_per_seq) needed = max_blocks_per_seq;
         while (static_cast<int>(sl.blocks.size()) < needed) {
           int b = mgr.allocate();
@@ -499,8 +521,17 @@ long long mlio_sched_slot_req_id(void* h, int slot) {
 int mlio_sched_commit_prefill(void* h, int slot, int32_t token) {
   return static_cast<Scheduler*>(h)->commit_prefill(slot, token);
 }
+int mlio_sched_commit_prefill_pending(void* h, int slot) {
+  return static_cast<Scheduler*>(h)->commit_prefill_pending(slot);
+}
+int mlio_sched_resolve_prefill(void* h, int slot, int32_t token) {
+  return static_cast<Scheduler*>(h)->resolve_prefill(slot, token);
+}
 int mlio_sched_plan_multi_step(void* h, int k_max) {
   return static_cast<Scheduler*>(h)->plan_multi_step(k_max);
+}
+int mlio_sched_plan_multi_step_r(void* h, int k_max, int reserve) {
+  return static_cast<Scheduler*>(h)->plan_multi_step(k_max, reserve);
 }
 
 int mlio_sched_commit_tokens(void* h, const int32_t* tokens) {

@@ -98,7 +98,10 @@ def _decode_mega_steps(params, lm_w, cur, k_pool, v_pool, tables, ctx, rng,
     rngs = jax.random.split(rng, k)
     (cur, kp, vp, ctx), toks = jax.lax.scan(
         step, (cur, k_pool, v_pool, ctx), rngs)
-    return toks, kp, vp
+    # cur (the scan's final token carry) rides back as a device array so
+    # the pipelined loop can chain the next chunk without a host fetch or
+    # a separate slice dispatch
+    return toks, cur, kp, vp
 
 
 @functools.partial(jax.jit,
@@ -123,7 +126,7 @@ def _decode_multi_steps(params, cur, k_pool, v_pool, tables, ctx, rng, *,
     rngs = jax.random.split(rng, k)
     (cur, kp, vp, ctx), toks = jax.lax.scan(
         step, (cur, k_pool, v_pool, ctx), rngs)
-    return toks, kp, vp
+    return toks, cur, kp, vp
 
 
 class _ManagerView:
@@ -234,7 +237,8 @@ class InferenceEngine:
                                      eos_token)
         return rid
 
-    def _prefill_batch(self, admitted: List[tuple]) -> None:
+    def _prefill_batch(self, admitted: List[tuple],
+                       defer: bool = False) -> List[tuple]:
         """Batched ragged prefill: all admissions sharing a length bucket run
         as ONE padded prefill call (per-sequence true lengths mask the
         padding — VERDICT r1 #4/weak #5: admissions no longer serialize).
@@ -242,11 +246,18 @@ class InferenceEngine:
         Batch is padded to a power of two so jit variants stay bounded at
         (#length buckets x #batch buckets); padding rows write into the
         reserved scratch block (table row 0s) and their samples are dropped.
-        """
+
+        ``defer=True`` (pipelined mode) skips the blocking token fetch:
+        each group's sampled tokens stay ON DEVICE and are returned as
+        ``(slots, device_tokens)`` pairs — the scheduler advances ctx via
+        commit_prefill_pending and receives the values later through
+        resolve_prefill, so the first decode chunk can chain directly off
+        the prefill's device output."""
         by_bucket: Dict[int, List[tuple]] = {}
         for slot, prompt, _num_cached in admitted:
             b = _bucket(len(prompt), self.prefill_buckets)
             by_bucket.setdefault(b, []).append((slot, prompt))
+        groups: List[tuple] = []
         for bucket, group in sorted(by_bucket.items()):
             pb = 1 << (len(group) - 1).bit_length()  # next power of two
             ids = np.zeros((pb, bucket), np.int32)
@@ -262,10 +273,16 @@ class InferenceEngine:
                 self.v_pool, jnp.asarray(tables), jnp.asarray(lens),
                 jnp.zeros((pb,), jnp.int32), impl=self.impl)
             self.rng, sub = jax.random.split(self.rng)
-            toks = np.asarray(jax.device_get(sample(logits, sub, self.method)),
-                              np.int32)
+            dev_toks = sample(logits, sub, self.method)
+            if defer:
+                for slot, _prompt in group:
+                    self.sched.commit_prefill_pending(slot)
+                groups.append(([s for s, _p in group], dev_toks))
+                continue
+            toks = np.asarray(jax.device_get(dev_toks), np.int32)
             for i, (slot, _prompt) in enumerate(group):
                 self.sched.commit_prefill(slot, int(toks[i]))
+        return groups
 
     def _drain_finished(self) -> None:
         while True:
@@ -302,7 +319,7 @@ class InferenceEngine:
                 k = 1 << (k.bit_length() - 1)  # pow2: bounded jit variants
             if self.decode_stack == "mega":
                 self.rng, sub = jax.random.split(self.rng)
-                toks, self.k_pool, self.v_pool = _decode_mega_steps(
+                toks, _cur, self.k_pool, self.v_pool = _decode_mega_steps(
                     self.params, self._lm_w, jnp.asarray(self.sched.cur),
                     self.k_pool, self.v_pool,
                     jnp.asarray(self.sched.tables),
@@ -317,7 +334,7 @@ class InferenceEngine:
                     self.sched.commit_tokens(toks[0])
             elif k > 1:
                 self.rng, sub = jax.random.split(self.rng)
-                toks, self.k_pool, self.v_pool = _decode_multi_steps(
+                toks, _cur, self.k_pool, self.v_pool = _decode_multi_steps(
                     self.params, jnp.asarray(self.sched.cur),
                     self.k_pool, self.v_pool,
                     jnp.asarray(self.sched.tables),
@@ -338,16 +355,159 @@ class InferenceEngine:
                 self.sched.commit_tokens(toks)
         self._drain_finished()
 
-    def run(self, prompts: Sequence[Sequence[int]], max_new_tokens: int = 32,
-            eos_token: Optional[int] = None) -> List[List[int]]:
-        """Submit all prompts, run until completion, return outputs in order."""
-        ids = [self.submit(p, max_new_tokens, eos_token) for p in prompts]
+    def _dispatch_chunk(self, k: int, cur_dev, ctx_off: int):
+        """Dispatch ONE k-step decode chunk; returns the [k, B] device
+        token array without fetching it.
+
+        ``ctx_off > 0`` is the pipelined mode's uncommitted-position
+        offset: the chunk decodes positions ctx+ctx_off .. ctx+ctx_off+k-1
+        whose blocks ``plan_multi_step(reserve=ctx_off)`` preallocated.
+        tables/ctx are snapshotted — the scheduler's (possibly zero-copy
+        native) views mutate under later plans while the host->device
+        transfer may still be in flight."""
+        tables = jnp.asarray(np.array(self.sched.tables, np.int32))
+        ctx = np.array(self.sched.ctx, np.int32)
+        if ctx_off:
+            ctx = ctx + np.int32(ctx_off)
+        ctx = jnp.asarray(ctx)
+        self.rng, sub = jax.random.split(self.rng)
+        if self.decode_stack == "mega":
+            toks, cur, self.k_pool, self.v_pool = _decode_mega_steps(
+                self.params, self._lm_w, cur_dev, self.k_pool, self.v_pool,
+                tables, ctx, sub, spec=self.spec, k=k, method=self.method,
+                kv_combined=self.kv_combined, interpret=self.interpret,
+                lm_vmajor=self._lm_vmajor, lm_V=self._lm_V, lm_Vc=self._lm_Vc)
+        else:
+            toks, cur, self.k_pool, self.v_pool = _decode_multi_steps(
+                self.params, cur_dev, self.k_pool, self.v_pool,
+                tables, ctx, sub, spec=self.spec, impl=self.impl, k=k,
+                method=self.method)
+        return toks, cur
+
+    def _run_pipelined(self) -> None:
+        """Drive all submitted requests to completion with ASYNC multi-step
+        scheduling: chunk N+1 is planned (``plan_multi_step(reserve=k_N)``)
+        and dispatched from chunk N's DEVICE-RESIDENT token carry before
+        chunk N's tokens ever reach the host, so the host round trip — the
+        entire per-dispatch latency on a remote/relay TPU backend — hides
+        under device compute. Bookkeeping commits lag one chunk (EOS /
+        length overshoot is trimmed at commit exactly as in the sync
+        path); admission and prefill are sync points, so slot membership
+        is always host-consistent when a prompt enters. In-flight writes
+        to blocks freed by a lagged commit are safe by DEVICE-QUEUE ORDER:
+        any reuse of those blocks is dispatched after the chunk that still
+        writes them. Greedy outputs are bit-identical to step()'s."""
+        pend: Optional[tuple] = None  # ([k,B] tokens, [B] cur, k) on device
+        rem: Dict[int, int] = {}      # slot -> undis­patched token budget
+        deferred: List[tuple] = []    # (slots, device prefill tokens)
+
+        def flush():
+            nonlocal pend
+            if pend is None:
+                return
+            toks = pend[0]
+            pend = None
+            self.sched.commit_tokens_multi(
+                np.asarray(jax.device_get(toks), np.int32))
+            self._drain_finished()
+
+        def resolve_prefills():
+            # deliver device-sampled prefill tokens to the scheduler;
+            # called after the first decode chunk dispatches, so the fetch
+            # overlaps device compute
+            for slots, dev_toks in deferred:
+                vals = np.asarray(jax.device_get(dev_toks), np.int32)
+                for i, slot in enumerate(slots):
+                    self.sched.resolve_prefill(slot, int(vals[i]))
+            deferred.clear()
+            self._drain_finished()
+
         guard = 0
-        while self.sched.num_queued or self.sched.num_active:
-            self.step()
+        while (self.sched.num_queued or self.sched.num_active
+               or pend is not None):
             guard += 1
             if guard > 100_000:
                 raise RuntimeError("engine did not converge")
+            if (self.sched.num_queued
+                    and self.sched.num_active < self.max_batch):
+                resolve_prefills()
+                flush()  # finishes must be host-visible for admission
+            admitted = list(self.sched.admit())
+            if admitted:
+                flush()  # prefill resets slot state host-side
+                deferred += self._prefill_batch(admitted, defer=True)
+                for slot, _prompt, _nc in admitted:
+                    rid = self.sched.slot_req_id(slot)
+                    if rid >= 0:
+                        rem[slot] = self.requests[rid].max_new_tokens - 1
+            if not self.sched.num_active:
+                resolve_prefills()
+                flush()
+                continue
+            active = [s for s in range(self.max_batch)
+                      if self.sched.slot_req_id(s) >= 0]
+            # every active slot's budget already covered by in-flight work?
+            # dispatching more would be a pure-waste tail chunk — drain.
+            if max((rem.get(s, 0) for s in active), default=0) <= 0:
+                resolve_prefills()
+                flush()
+                continue
+            k = self.sched.plan_multi_step(
+                self.steps_per_dispatch, reserve=pend[2] if pend else 0)
+            if k <= 0:
+                resolve_prefills()
+                flush()
+                continue
+            k = 1 << (k.bit_length() - 1)  # pow2: bounded jit variants
+            if pend is not None:
+                cur_dev = pend[1]
+            else:
+                cur_dev = jnp.asarray(np.array(self.sched.cur, np.int32))
+                # overlay device-resident prefill samples (token values the
+                # host hasn't seen yet); out-of-range pad indices drop
+                for slots, dev_toks in deferred:
+                    idx = np.full((dev_toks.shape[0],), self.max_batch,
+                                  np.int32)
+                    idx[: len(slots)] = slots
+                    cur_dev = cur_dev.at[jnp.asarray(idx)].set(
+                        dev_toks.astype(jnp.int32), mode="drop")
+            toks, cur = self._dispatch_chunk(k, cur_dev,
+                                             pend[2] if pend else 0)
+            for s in active:
+                rem[s] = rem.get(s, 0) - k
+            prev, pend = pend, (toks, cur, k)
+            # fetch+commit everything OUTSTANDING while the new chunk runs —
+            # the only blocking host calls, fully overlapped
+            resolve_prefills()
+            if prev is not None:
+                self.sched.commit_tokens_multi(
+                    np.asarray(jax.device_get(prev[0]), np.int32))
+                self._drain_finished()
+        resolve_prefills()
+        flush()
+
+    def run(self, prompts: Sequence[Sequence[int]], max_new_tokens: int = 32,
+            eos_token: Optional[int] = None,
+            pipeline="auto") -> List[List[int]]:
+        """Submit all prompts, run until completion, return outputs in order.
+
+        ``pipeline``: True/"auto" uses the async one-chunk-lookahead loop
+        (_run_pipelined) when multi-step scheduling is on — decode chunks
+        dispatch back-to-back with no host round trip between them. False
+        forces the synchronous step() loop."""
+        ids = [self.submit(p, max_new_tokens, eos_token) for p in prompts]
+        use_pipe = pipeline is True or (
+            pipeline == "auto" and self.steps_per_dispatch > 1
+            and hasattr(self.sched, "plan_multi_step"))
+        if use_pipe:
+            self._run_pipelined()
+        else:
+            guard = 0
+            while self.sched.num_queued or self.sched.num_active:
+                self.step()
+                guard += 1
+                if guard > 100_000:
+                    raise RuntimeError("engine did not converge")
         by_id = {r.req_id: r.output for r in self.finished}
         return [by_id[i] for i in ids]
 

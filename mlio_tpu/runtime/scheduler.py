@@ -272,6 +272,29 @@ class PyScheduler:
         self._stats["generated_tokens"] += 1
         self._finish_if_done(slot)
 
+    def commit_prefill_pending(self, slot: int) -> None:
+        """Record a prefill whose sampled token is still ON DEVICE: ctx
+        advances now (decode planning needs it) while the token itself
+        arrives later via resolve_prefill — the engine's pipelined mode
+        chains prefill -> first decode chunk without a host fetch."""
+        sl = self.slots[slot]
+        if not sl.active:
+            raise ValueError(f"slot {slot} not active")
+        self.ctx[slot] = len(sl.req.prompt) + 1
+        self._stats["prefills"] += 1
+
+    def resolve_prefill(self, slot: int, token: int) -> None:
+        """Deliver the device-sampled prefill token for a pending slot
+        (see commit_prefill_pending); runs the finish check the immediate
+        commit would have run."""
+        sl = self.slots[slot]
+        if not sl.active:
+            raise ValueError(f"slot {slot} not active")
+        sl.req.output.append(int(token))
+        self.cur[slot] = token
+        self._stats["generated_tokens"] += 1
+        self._finish_if_done(slot)
+
     def _preempt(self, s: int) -> None:
         """Requeue slot s at the FRONT with prompt+output as the new prompt.
 
@@ -329,14 +352,18 @@ class PyScheduler:
                 sl.blocks.append(b)
         return done
 
-    def plan_multi_step(self, k_max: int) -> int:
+    def plan_multi_step(self, k_max: int, reserve: int = 0) -> int:
         """Largest k <= k_max every active slot can decode WITHOUT host
         intervention (vLLM-style multi-step scheduling): bounded by each
         slot's remaining-token budget, with the KV blocks for the next k
         tokens PREALLOCATED here so the device can run k decode steps in
         one dispatch. EOS finishes mid-chunk are exact — commit trims at
         the EOS and discards the overshoot. Never preempts to create
-        speculative headroom: on block shortage k shrinks instead."""
+        speculative headroom: on block shortage k shrinks instead.
+
+        ``reserve``: extra uncommitted positions already dispatched to the
+        device (the engine's pipelined mode plans chunk N+1 before chunk
+        N's tokens are fetched, so blocks must cover ctx + reserve + k)."""
         active = [s for s in range(self.max_batch) if self.slots[s].active]
         if not active:
             return 0
@@ -350,7 +377,8 @@ class PyScheduler:
             ok = True
             for s in active:
                 sl = self.slots[s]
-                needed = min((int(self.ctx[s]) + k + self.block_size - 1)
+                needed = min((int(self.ctx[s]) + reserve + k
+                              + self.block_size - 1)
                              // self.block_size, self.max_blocks_per_seq)
                 while len(sl.blocks) < needed:
                     b = self.mgr.allocate()

@@ -179,3 +179,70 @@ def test_engine_multi_step_under_block_pressure(model):
         dense = greedy_generate(params, spec, jnp.asarray([p]),
                                 max_new_tokens=T)
         assert out == np.asarray(dense)[0, len(p):].tolist()
+
+
+def test_engine_pipelined_matches_sync(model):
+    """The async pipelined loop (chunk N+1 dispatched from the device token
+    carry before chunk N commits) must emit exactly the synchronous
+    multi-step path's greedy tokens — mixed prompt lengths, several
+    admission waves through few slots, non-pow2 budgets."""
+    spec, params = model
+    prompts = [[5, 9, 2, 7], [11, 3], [1, 2, 3, 4, 5, 6, 7], [8, 8],
+               [4, 4, 4], [9, 1, 9, 1, 9]]
+    T = 11
+    pipe = InferenceEngine(spec, params, max_batch=2, max_seq_len=64,
+                           dtype=jnp.float32, steps_per_dispatch=4,
+                           method=SamplingMethod(temperature=0.0))
+    sync = InferenceEngine(spec, params, max_batch=2, max_seq_len=64,
+                           dtype=jnp.float32, steps_per_dispatch=4,
+                           method=SamplingMethod(temperature=0.0))
+    assert pipe.run(prompts, max_new_tokens=T, pipeline=True) == \
+        sync.run(prompts, max_new_tokens=T, pipeline=False)
+
+
+def test_engine_pipelined_eos_and_block_pressure(model):
+    """Pipelined mode under tight blocks + EOS mid-chunk: reserve-aware
+    planning keeps in-flight chunks covered; outputs still exact."""
+    spec, params = model
+    probe = InferenceEngine(spec, params, max_batch=2, max_seq_len=32,
+                            dtype=jnp.float32,
+                            method=SamplingMethod(temperature=0.0))
+    ref = probe.run([[5, 9, 2, 7]], max_new_tokens=8)[0]
+    eos = ref[2]
+    eng = InferenceEngine(spec, params, max_batch=2, max_seq_len=32,
+                          num_blocks=3, block_size=16, dtype=jnp.float32,
+                          steps_per_dispatch=8,
+                          method=SamplingMethod(temperature=0.0))
+    out = eng.run([[5, 9, 2, 7], [11, 3, 6, 1]], max_new_tokens=8,
+                  eos_token=eos, pipeline=True)
+    assert out[0] == ref[:3], (out[0], ref)
+    dense = greedy_generate(params, spec, jnp.asarray([[11, 3, 6, 1]]),
+                            max_new_tokens=8)
+    exp = np.asarray(dense)[0, 4:].tolist()
+    stop = exp.index(eos) + 1 if eos in exp else len(exp)
+    assert out[1] == exp[:stop]
+
+
+def test_engine_pipelined_prefill_edge_finishes(model):
+    """Deferred prefill commit: a request that finishes AT the prefill
+    token (max_new=1, or EOS == first sample) must resolve correctly even
+    though the first decode chunk was dispatched before the token reached
+    the host."""
+    spec, params = model
+    probe = InferenceEngine(spec, params, max_batch=2, max_seq_len=64,
+                            dtype=jnp.float32,
+                            method=SamplingMethod(temperature=0.0))
+    first = probe.run([[4, 5, 6]], max_new_tokens=1)[0]
+    eng = InferenceEngine(spec, params, max_batch=2, max_seq_len=64,
+                          dtype=jnp.float32, steps_per_dispatch=4,
+                          method=SamplingMethod(temperature=0.0))
+    outs = eng.run([[4, 5, 6], [7, 8]], max_new_tokens=1, pipeline=True)
+    assert outs[0] == first
+    assert len(outs[1]) == 1
+    # EOS at the prefill sample: stops with exactly that one token
+    eng2 = InferenceEngine(spec, params, max_batch=2, max_seq_len=64,
+                           dtype=jnp.float32, steps_per_dispatch=4,
+                           method=SamplingMethod(temperature=0.0))
+    outs2 = eng2.run([[4, 5, 6]], max_new_tokens=8, eos_token=first[0],
+                     pipeline=True)
+    assert outs2[0] == first
