@@ -362,7 +362,7 @@ def _mmvv(h16, w, b, sc):
 def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                   norm, eps, activation, scale, gated, grouped,
                   cdtype, kv_quant, hkvg, smax, n_experts=0, top_k=0,
-                  kv_depth=2):
+                  kv_depth=2, npw=1):
     """ONE grid step == one whole LAYER; the Ka attention-group and
     (E x) Km MLP-chunk phases run as in-body fori loops over the same
     manually double-buffered weight pool. Round 5 restructure: with phases
@@ -400,52 +400,65 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
     single_chunk = Km == 1
     I_true = r["w_up"].shape[2]    # true intermediate width
 
-    def attn_copies(l_, g_, slot_):
-        return [
-            pltpu.make_async_copy(
-                r["wq"].at[l_, :, pl.ds(g_ * Qg, Qg)],
-                wbu.at[slot_, :, pl.ds(0, Qg)], wsems.at[0, slot_]),
-            pltpu.make_async_copy(
-                r["wk"].at[l_, :, pl.ds(g_ * KVg, KVg)],
-                wbm.at[slot_, :, pl.ds(0, KVg)], wsems.at[1, slot_]),
-            pltpu.make_async_copy(
-                r["wv"].at[l_, :, pl.ds(g_ * KVg, KVg)],
-                wbv_.at[slot_, :, pl.ds(0, KVg)], wsems.at[2, slot_]),
-            pltpu.make_async_copy(
-                r["wo"].at[l_, pl.ds(g_ * Qg, Qg), :],
-                wbd.at[slot_, pl.ds(0, Qg), :], wsems.at[3, slot_]),
-        ]
+    # Weight DMAs split into npw ROW-parts so their issue can be staggered
+    # through the phase body: the DMA queue services FIFO, so a monolithic
+    # next-phase weight fetch issued ahead of this phase's cache blocks
+    # stalls the attention scan head-of-line for up to the whole fetch
+    # (~40 us/phase measured at 7B). Parts also keep the queue from
+    # draining at phase boundaries (the ws=2 depth penalty).
+    HH = (r["wq"] if r["wq"] is not None else r["w_up"]).shape[-2]
+    hr = HH // npw
+    qr = Qg // npw
 
-    def mlp_copies(l_, e_, kk_, slot_):
+    def attn_copies(l_, g_, slot_, part=None):
+        cps = []
+        for p in (range(npw) if part is None else (part,)):
+            cps += [
+                pltpu.make_async_copy(
+                    r["wq"].at[l_, pl.ds(p * hr, hr), pl.ds(g_ * Qg, Qg)],
+                    wbu.at[slot_, pl.ds(p * hr, hr), pl.ds(0, Qg)],
+                    wsems.at[0, slot_]),
+                pltpu.make_async_copy(
+                    r["wk"].at[l_, pl.ds(p * hr, hr), pl.ds(g_ * KVg, KVg)],
+                    wbm.at[slot_, pl.ds(p * hr, hr), pl.ds(0, KVg)],
+                    wsems.at[1, slot_]),
+                pltpu.make_async_copy(
+                    r["wv"].at[l_, pl.ds(p * hr, hr), pl.ds(g_ * KVg, KVg)],
+                    wbv_.at[slot_, pl.ds(p * hr, hr), pl.ds(0, KVg)],
+                    wsems.at[2, slot_]),
+                pltpu.make_async_copy(
+                    r["wo"].at[l_, pl.ds(g_ * Qg + p * qr, qr), :],
+                    wbd.at[slot_, pl.ds(p * qr, qr), :], wsems.at[3, slot_]),
+            ]
+        return cps
+
+    ir = (I_true if single_chunk else ic) // npw
+
+    def mlp_copies(l_, e_, kk_, slot_, part=None):
         # all three MLP weights stream through the pool; the edge chunk
         # uses a CLAMPED start (alignment-safe) and the overlap columns
         # are masked to zero in compute so nothing double-counts
         le = l_ * n_experts + e_ if moe else l_
-        if single_chunk:
-            cps = [pltpu.make_async_copy(
-                       r["w_up"].at[le], wbu.at[slot_, :, pl.ds(0, I_true)],
-                       wsems.at[0, slot_]),
-                   pltpu.make_async_copy(
-                       r["w_down"].at[le],
-                       wbd.at[slot_, pl.ds(0, I_true), :],
-                       wsems.at[3, slot_])]
+        wide = I_true if single_chunk else ic
+        start_c = (jnp.int32(0) if single_chunk else pl.multiple_of(
+            jnp.minimum(kk_ * ic, I_total - ic), 128))
+        cps = []
+        for p in (range(npw) if part is None else (part,)):
+            cps += [pltpu.make_async_copy(
+                        r["w_up"].at[le, pl.ds(p * hr, hr),
+                                     pl.ds(start_c, wide)],
+                        wbu.at[slot_, pl.ds(p * hr, hr), pl.ds(0, wide)],
+                        wsems.at[0, slot_]),
+                    pltpu.make_async_copy(
+                        r["w_down"].at[le, pl.ds(start_c + p * ir, ir), :],
+                        wbd.at[slot_, pl.ds(p * ir, ir), :],
+                        wsems.at[3, slot_])]
             if r["w_gate"] is not None:
                 cps.append(pltpu.make_async_copy(
-                    r["w_gate"].at[le],
-                    wbm.at[slot_, :, pl.ds(0, I_true)],
+                    r["w_gate"].at[le, pl.ds(p * hr, hr),
+                                   pl.ds(start_c, wide)],
+                    wbm.at[slot_, pl.ds(p * hr, hr), pl.ds(0, wide)],
                     wsems.at[1, slot_]))
-            return cps
-        start_c = pl.multiple_of(jnp.minimum(kk_ * ic, I_total - ic), 128)
-        cps = [pltpu.make_async_copy(
-                   r["w_up"].at[le, :, pl.ds(start_c, ic)],
-                   wbu.at[slot_, :, pl.ds(0, ic)], wsems.at[0, slot_]),
-               pltpu.make_async_copy(
-                   r["w_down"].at[le, pl.ds(start_c, ic), :],
-                   wbd.at[slot_, pl.ds(0, ic), :], wsems.at[3, slot_])]
-        if r["w_gate"] is not None:
-            cps.append(pltpu.make_async_copy(
-                r["w_gate"].at[le, :, pl.ds(start_c, ic)],
-                wbm.at[slot_, :, pl.ds(0, ic)], wsems.at[1, slot_]))
         return cps
 
     def start(cps):
@@ -456,22 +469,23 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
         for c in cps:
             c.wait()
 
-    def issue_global(gp):
+    def issue_global(gp, part=None):
         """Issue the weight DMAs for GLOBAL phase gp (any layer) into its
-        slot — the ws-deep streaming queue is fed ws-1 phases ahead."""
+        slot — the ws-deep streaming queue is fed ws-1 phases ahead.
+        ``part`` issues one row-part (staggered issue); None = all."""
         l_ = gp // P
         ph = gp - l_ * P
         slot_ = lax.rem(gp, ws)
 
         @pl.when((gp < L * P) & (ph < Ka))
         def _():
-            start(attn_copies(l_, ph, slot_))
+            start(attn_copies(l_, ph, slot_, part))
 
         @pl.when((gp < L * P) & (ph >= Ka))
         def _():
             t_ = ph - Ka
             e_ = t_ // Km if moe else jnp.int32(0)
-            start(mlp_copies(l_, e_, t_ - e_ * Km, slot_))
+            start(mlp_copies(l_, e_, t_ - e_ * Km, slot_, part))
 
     @pl.when(layer == 0)  # seed residual + warm the first ws-1 phases
     def _():
@@ -505,7 +519,6 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
     # ---- attention phases: one query-head group per iteration ------------
     def attn_body(g, carry):
         slot = lax.rem(base + g, ws)
-        issue_global(base + g + ws - 1)
 
         def kv_copies(j, s2):
             kr = pltpu.make_async_copy(
@@ -518,6 +531,11 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                 sems.at[kv_depth + s2])
             return kr, vr
 
+        # ISSUE ORDER IS THE PHASE'S CRITICAL PATH (measured −0.9 ms/step
+        # at 7B): the DMA queue services FIFO, so this phase's cache
+        # blocks and scale slabs must enqueue BEFORE the next phase's
+        # ~16-32 MB weight fetch — otherwise the block-scan loop stalls
+        # head-of-line behind bytes whose deadline is a whole phase away.
         for dd in range(kv_depth):
             if smax >= (dd + 1) * bs:
                 @pl.when(nb > dd)
@@ -532,6 +550,10 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
                                         sems.at[2 * kv_depth + 1])
             ksd.start()
             vsd.start()
+
+        # part 0 of the next phase's weights now; the rest staggered
+        # through the cache-block loop so cache refills keep queue priority
+        issue_global(base + g + ws - 1, 0 if npw > 1 else None)
 
         wait(attn_copies(layer, g, slot))
         h16 = h_scr[...]
@@ -638,6 +660,13 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
             def _():
                 for c in kv_copies(j + kv_depth, s2):
                     c.start()
+
+            # staggered weight-part issue AFTER this iteration's cache
+            # refill: weight bytes fill the queue gaps, never the head
+            for p_ in range(1, npw):
+                @pl.when(j == (nb * p_) // npw)
+                def _(p_=p_):
+                    issue_global(base + g + ws - 1, p_)
             return out
 
         m, l, acc = lax.fori_loop(0, nb, block, (m0, l0, a0))
@@ -699,6 +728,9 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
         e_idx = t // Km if moe else jnp.int32(0)
         kk = t - e_idx * Km
         slot = lax.rem(base + Ka + t, ws)
+        # MLP phases have no competing cache stream: issue ALL parts up
+        # front (staggering here just drains the DMA queue — measured
+        # +0.5 ms at short ctx)
         issue_global(base + Ka + t + ws - 1)
 
         wait(mlp_copies(layer, e_idx, kk, slot))
@@ -971,13 +1003,21 @@ def decode_layer_tiled(
         out_shape += [jax.ShapeDtypeStruct((L, B, Ka * hkvp, 1),
                                            jnp.float32)] * 2
 
+    # weight-DMA row-split factor (staggered issue, see _tiled_kernel):
+    # the largest of 4/2/1 whose parts keep every split row dim 8-aligned
+    Qg_ = tiling.hg * D
+    ic_eff = spec.intermediate_size if tiling.km == 1 else tiling.ic
+    npw = next(n for n in (4, 2, 1)
+               if H % (8 * n) == 0 and Qg_ % (8 * n) == 0
+               and ic_eff % (8 * n) == 0)
+
     kernel = functools.partial(
         _tiled_kernel, flags=flags, B=B, D=D, bs=bs, tiling=tiling,
         I_total=spec.intermediate_size, norm=spec.norm, eps=spec.norm_eps,
         activation=spec.activation, scale=scale, gated=gated,
         grouped=G > 1, cdtype=cdtype, kv_quant=kv_quant, hkvg=hkvg,
         smax=Smax, n_experts=E, top_k=spec.num_experts_per_tok if moe else 0,
-        kv_depth=kv_depth)
+        kv_depth=kv_depth, npw=npw)
 
     # shared weight pool: 4 double-buffered scratch buffers reused by the
     # attention and MLP phases (all-manual DMA; sharing across ALL seven
