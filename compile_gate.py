@@ -116,6 +116,22 @@ def tiled_moe():
                       cache_quant="int8")
 
 
+def tiled_moe_single_chunk():
+    """MoE tiled decode where the whole expert MLP fits one chunk (Km=1,
+    the moe-13b bench geometry): the chunk-start becomes a static slice —
+    a DIFFERENT Mosaic load-lowering path from the chunked mixtral class
+    (the raw-traced-scalar start hit 'Too many leaves for PyTreeDef'
+    while pl.multiple_of-wrapped starts did not; caught round 5)."""
+    import dataclasses
+
+    spec = dataclasses.replace(
+        _spec("mixtral-8x7b", num_layers=2), name="moe-13b",
+        hidden_size=2048, num_heads=16, num_kv_heads=4,
+        intermediate_size=5632, vocab_size=32000)
+    return _gen_entry(spec, _params(spec, quant="int8"), "tiled",
+                      cache_quant="int8")
+
+
 def paged_mega_greedy():
     """Paged decode megakernel: combined pools, block tables in SMEM,
     in-kernel slab writes, greedy epilogue (the engine's hot loop)."""
@@ -272,6 +288,7 @@ ENTRIES = {
     "scan-int4": scan_int4,
     "tiled-fp8": tiled_fp8,
     "tiled-moe": tiled_moe,
+    "tiled-moe-single-chunk": tiled_moe_single_chunk,
     "paged-mega-greedy": paged_mega_greedy,
     "paged-mega-logits": paged_mega_logits,
     "paged-attention-op": paged_attention_op,

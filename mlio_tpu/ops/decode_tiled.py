@@ -509,7 +509,17 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
         ref = r[name]
         if ref is None:
             return None
-        sl = ref[0, :, pl.ds(start_l, width)]                 # [rows, width]
+        # .at[0] first: a single (int, full, dyn-slice) load on the 3D ref
+        # trips Mosaic's load-transform limit ("Too many leaves for
+        # PyTreeDef") for multi-row (MoE) consts — splitting the indexing
+        # into a subref + 2D load lowers everywhere. A PYTHON-int start
+        # must stay a static slice: a raw traced scalar (the single-chunk
+        # MoE case) hits the same limit where pl.multiple_of-wrapped
+        # dynamic starts do not.
+        if isinstance(start_l, int):
+            sl = ref.at[0][:, start_l:start_l + width]        # [rows, width]
+        else:
+            sl = ref.at[0][:, pl.ds(start_l, width)]
         if sl.shape[0] > 1:  # per-expert rows (MoE): one-hot select
             er = lax.broadcasted_iota(jnp.int32, sl.shape, 0)
             sl = jnp.sum(jnp.where(er == e_idx, sl, 0.0), axis=0,
@@ -735,7 +745,8 @@ def _tiled_kernel(pos_ref, *refs, flags, B, D, bs, tiling, I_total,
 
         wait(mlp_copies(layer, e_idx, kk, slot))
         h16 = h_scr[...]
-        start_c = (jnp.int32(0) if single_chunk
+        # python 0 (static slice in row()) when single-chunk — see row()
+        start_c = (0 if single_chunk
                    else pl.multiple_of(
                        jnp.minimum(kk * ic, I_total - ic), 128))
         bu = row("b_up", start_c, w_eff)
